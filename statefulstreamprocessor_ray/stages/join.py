@@ -1,0 +1,120 @@
+"""Ordered two-stream join as a Ray Data stage.
+
+The reference runs one LocalStreamBuffer per process fed by a Kafka poll loop
+(``05_LocalStreamBuffer/ts_join_with_kafka_eos.py:119-183``). Here the same
+per-key state machine (``state/stream_buffer.py``) replays each key group of a
+hash-partitioned Dataset:
+
+    tagged-events ──groupby(key)──> map_groups(replay) ──> joined rows
+
+The groupby is the pipeline's single wide (all-to-all) step; everything else
+is embarrassingly parallel ``map_batches``. Within a group the deterministic
+ingestion order is the pinned sort (ts, stream_side, tie) — FIXTURES.md T1.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from statefulstreamprocessor_ray.functions.streams import StreamSpec, derive_streams
+from statefulstreamprocessor_ray.state.stream_buffer import OrderedJoinState
+
+_CASE_DICT = np.array(["JR1", "JR2", "JS2"])
+
+
+def replay_join_table(
+    group: pa.Table,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    payload_cols: Sequence[str] = ("turn_idx", "text", "tool"),
+    delta_us: int | None = None,
+    side_col: str = "stream_side",
+    presorted: bool = False,
+) -> pa.Table:
+    """Replay one key group through the ordered-join state machine.
+
+    Emits one row per joined pair with ``r_*``/``s_*`` prefixed payloads (the
+    default-merge projection analog, reference ``local_stream_buffer.py:383-389``),
+    plus ``join_case`` and a per-key ``emit_seq`` pinning stable order.
+    """
+    if not presorted:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (side_col, "ascending"), (tie_col, "ascending")],
+        )
+        group = group.take(idx)
+    group = group.combine_chunks()
+
+    ts_us = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False).tolist()
+    sides = group[side_col].to_numpy(zero_copy_only=False).tolist()
+
+    st = OrderedJoinState(delta_time=delta_us)
+    ingest = st.ingest
+    for i, side in enumerate(sides):
+        ingest(side, ts_us[i], i)
+    left_idx, right_idx, cases = st.drain()
+
+    lt = group.take(pa.array(left_idx, pa.int64()))
+    rt = group.take(pa.array(right_idx, pa.int64()))
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {key_col: lt[key_col]}
+    cols["r_ts"] = lt[ts_col]
+    for c in payload_cols:
+        cols[f"r_{c}"] = lt[c]
+    cols["s_ts"] = rt[ts_col]
+    for c in payload_cols:
+        cols[f"s_{c}"] = rt[c]
+    cols["join_case"] = pa.array(_CASE_DICT[np.asarray(cases, dtype=np.int8)] if cases else [], pa.string())
+    cols["emit_seq"] = pa.array(np.arange(len(left_idx), dtype=np.int64))
+    return pa.table(cols)
+
+
+def ordered_join_events(
+    events: ray.data.Dataset,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    payload_cols: Sequence[str] = ("turn_idx", "text", "tool"),
+    delta_time: float | None = None,
+    num_cpus: float = 1,
+) -> ray.data.Dataset:
+    """Join an already-tagged event stream (has ``stream_side``)."""
+    delta_us = int(delta_time * 1_000_000) if delta_time else None
+
+    def fn(group: pa.Table) -> pa.Table:
+        return replay_join_table(
+            group,
+            key_col=key_col,
+            ts_col=ts_col,
+            tie_col=tie_col,
+            payload_cols=payload_cols,
+            delta_us=delta_us,
+        )
+
+    return events.groupby(key_col).map_groups(
+        fn, batch_format="pyarrow", num_cpus=num_cpus
+    )
+
+
+def ordered_join(
+    transcripts: ray.data.Dataset,
+    spec: StreamSpec | None = None,
+    delta_time: float | None = None,
+    payload_cols: Sequence[str] = ("turn_idx", "text", "tool"),
+) -> ray.data.Dataset:
+    """Derive left/right streams from a transcript Dataset and join them."""
+    spec = spec or StreamSpec()
+    events = derive_streams(transcripts, spec)
+    return ordered_join_events(
+        events,
+        key_col=spec.key_col,
+        ts_col=spec.ts_col,
+        tie_col=spec.tie_col,
+        payload_cols=payload_cols,
+        delta_time=delta_time,
+    )
