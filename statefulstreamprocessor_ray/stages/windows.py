@@ -1,0 +1,240 @@
+"""Event-time windows: tumbling / sliding assignment, session windows, and the
+windowed interpolation join (the Flink pendant).
+
+Reference semantics (``05_Flink_Java/.../StreamJoiner.java:87-194``):
+``keyBy(machine) -> SlidingEventTimeWindows(1 s, 250 ms) -> allowedLateness(250 ms)
+-> aggregate``: sort the window by event time, walk from the latest record down,
+carrying the nearest following record of each stream ("INTERPOLATE ON PREVIOUS
+VALUE"); for every window position where both streams have a following record,
+emit power = |2π/60 · r · s| clamped to 20000 with a 5-bucket level label and
+the smaller of the two timestamps.
+
+Ray Data mapping: window assignment is a vectorized ``map_batches`` (sliding
+windows replicate each row into size/slide windows); the per-(key, window)
+aggregate is a ``groupby([key, window_id]).map_groups`` whose walk is computed
+with numpy suffix scans — no Python per-row loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+US = 1_000_000
+
+LEVEL_LABELS = [
+    "  0% ...  20%",
+    " 20% ...  40%",
+    " 40% ...  60%",
+    " 60% ...  80%",
+    " 80% ... 100%",
+]
+
+
+def _ts_us(col) -> pa.Array:
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def assign_tumbling(
+    ds: ray.data.Dataset, size_s: float, ts_col: str = "ts"
+) -> ray.data.Dataset:
+    """Add window_id / window_start / window_end for tumbling windows."""
+    size_us = int(size_s * US)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch[ts_col])
+        wid = pc.floor(pc.divide(pc.cast(t, pa.float64()), size_us))
+        wid = pc.cast(wid, pa.int64())
+        start = pc.multiply(wid, size_us)
+        batch = batch.append_column("window_id", wid)
+        batch = batch.append_column("window_start", pc.cast(start, pa.timestamp("us")))
+        batch = batch.append_column(
+            "window_end", pc.cast(pc.add(start, size_us), pa.timestamp("us"))
+        )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_sliding(
+    ds: ray.data.Dataset, size_s: float, slide_s: float, ts_col: str = "ts"
+) -> ray.data.Dataset:
+    """Replicate each row into its sliding windows (window start = id·slide).
+
+    An event at time t belongs to windows n·slide <= t < n·slide + size, i.e.
+    n in [floor((t-size)/slide)+1, floor(t/slide)] — size/slide copies when
+    slide divides size. Replication is a vectorized concat of shifted copies,
+    the ``flat_map`` analog of Flink's window assignment.
+    """
+    size_us, slide_us = int(size_s * US), int(slide_s * US)
+    n_copies = -(-size_us // slide_us)  # ceil
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch[ts_col]).to_numpy(zero_copy_only=False)
+        n_max = np.floor_divide(t, slide_us)
+        n_min = np.floor_divide(t - size_us, slide_us) + 1
+        parts = []
+        for i in range(n_copies):
+            n = n_max - i
+            mask = n >= n_min
+            sel = batch.filter(pa.array(mask)) if not mask.all() else batch
+            wid = n[mask]
+            start = wid * slide_us
+            sel = sel.append_column("window_id", pa.array(wid, pa.int64()))
+            sel = sel.append_column(
+                "window_start", pa.array(start, pa.int64()).cast(pa.timestamp("us"))
+            )
+            sel = sel.append_column(
+                "window_end", pa.array(start + size_us, pa.int64()).cast(pa.timestamp("us"))
+            )
+            parts.append(sel)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_session_ids(
+    ds: ray.data.Dataset, gap_s: float, key_col: str = "conv_id", ts_col: str = "ts"
+) -> ray.data.Dataset:
+    """Per-key session windows: a new session starts when the gap to the
+    previous event exceeds ``gap_s`` (numpy cumsum inside map_groups)."""
+    gap_us = int(gap_s * US)
+
+    def fn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        group = group.take(idx)
+        t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
+        new = np.ones(len(t), dtype=bool)
+        if len(t) > 1:
+            new[1:] = np.diff(t) > gap_us
+        sid = np.cumsum(new) - 1
+        return group.append_column("session_id", pa.array(sid, pa.int64()))
+
+    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+
+
+def session_windows(
+    ds: ray.data.Dataset, gap_s: float, key_col: str = "conv_id", ts_col: str = "ts"
+) -> ray.data.Dataset:
+    """Per-session summaries (key, session_id, session_start, session_end, n_rows),
+    computed in the same per-key pass as the assignment (no second shuffle)."""
+    gap_us = int(gap_s * US)
+
+    def fn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        group = group.take(idx)
+        t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
+        new = np.ones(len(t), dtype=bool)
+        if len(t) > 1:
+            new[1:] = np.diff(t) > gap_us
+        sid = np.cumsum(new) - 1
+        starts = t[new]
+        ends = np.maximum.reduceat(t, np.flatnonzero(new))
+        counts = np.diff(np.append(np.flatnonzero(new), len(t)))
+        key = group[key_col][0].as_py() if group.num_rows else None
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(starts), pa.string()),
+                "session_id": pa.array(np.arange(len(starts)), pa.int64()),
+                "session_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(ends, pa.int64()).cast(pa.timestamp("us")),
+                "n_rows": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+
+
+def interpolation_join_group(
+    group: pa.Table,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    side_col: str = "stream_side",
+    left_value_col: str | None = None,
+    right_value_col: str | None = None,
+    text_cols: tuple[str, str] | None = None,
+) -> pa.Table:
+    """Vectorized desc-walk interpolation join for one (key, window) group.
+
+    For each window position idx (ascending output), pair the nearest left and
+    right records at-or-after idx; emit while both exist. Numeric mode (value
+    columns) computes the reference's power/clamp/level; text mode concatenates
+    payloads (transcript analog).
+    """
+    idx = pc.sort_indices(
+        group, sort_keys=[(ts_col, "ascending"), (tie_col, "ascending")]
+    )
+    group = group.take(idx).combine_chunks()
+    n = group.num_rows
+    t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
+    side = group[side_col].to_numpy(zero_copy_only=False)
+
+    pos = np.arange(n)
+    big = n + 1
+    next_l = np.minimum.accumulate(np.where(side == 0, pos, big)[::-1])[::-1]
+    next_r = np.minimum.accumulate(np.where(side == 1, pos, big)[::-1])[::-1]
+    valid = (next_l < big) & (next_r < big)
+    li = next_l[valid]
+    ri = next_r[valid]
+
+    out_ts = np.minimum(t[li], t[ri])
+    key = group[key_col].take(pa.array(np.flatnonzero(valid), pa.int64()))
+    cols: dict = {
+        key_col: key,
+        "window_id": group["window_id"].take(pa.array(np.flatnonzero(valid), pa.int64())),
+        "window_start": group["window_start"].take(pa.array(np.flatnonzero(valid), pa.int64())),
+        "window_end": group["window_end"].take(pa.array(np.flatnonzero(valid), pa.int64())),
+        "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+    }
+
+    if left_value_col is not None and right_value_col is not None:
+        lv = pc.cast(group[left_value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        rv = pc.cast(group[right_value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        res = np.abs((2 * np.pi / 60) * lv[li] * rv[ri])
+        res = np.minimum(res, 20000.0)
+        level = (res / 20000.1 * 5).astype(np.int64)
+        cols["result"] = pa.array(res, pa.float64())
+        cols["level"] = pa.array(level.astype(np.int8), pa.int8())
+        cols["level_label"] = pa.array(np.array(LEVEL_LABELS)[level], pa.string())
+        cols["duration"] = pa.array(np.ones(len(res), dtype=np.int32), pa.int32())
+    if text_cols is not None:
+        lt_col, rt_col = text_cols
+        lt = group[lt_col].take(pa.array(li, pa.int64()))
+        rt = group[rt_col].take(pa.array(ri, pa.int64()))
+        cols["r_text"] = lt
+        cols["s_text"] = rt
+        cols["result_text"] = pc.binary_join_element_wise(lt, rt, "x")
+    return pa.table(cols)
+
+
+def windowed_interpolation_join(
+    tagged: ray.data.Dataset,
+    size_s: float,
+    slide_s: float | None = None,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    **mode_cols,
+) -> ray.data.Dataset:
+    """Flink-pendant windowed join over a tagged (stream_side) event Dataset.
+
+    ``slide_s=None`` gives tumbling windows. The shuffle key is
+    (key, window_id); skewed windows stay bounded because each group holds at
+    most one window of one key.
+    """
+    if slide_s is None or slide_s == size_s:
+        win = assign_tumbling(tagged, size_s, ts_col)
+    else:
+        win = assign_sliding(tagged, size_s, slide_s, ts_col)
+
+    def fn(group: pa.Table) -> pa.Table:
+        return interpolation_join_group(
+            group, key_col=key_col, ts_col=ts_col, tie_col=tie_col, **mode_cols
+        )
+
+    return win.groupby([key_col, "window_id"]).map_groups(fn, batch_format="pyarrow")
