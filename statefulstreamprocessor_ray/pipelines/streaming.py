@@ -1,0 +1,352 @@
+"""Streaming replay with persistent shard state, checkpoints, and an
+exactly-once sink.
+
+The Ray re-expression of the reference's consume-join-produce loop with Kafka
+transactions (``ts_join_with_kafka_eos.py:119-183`` mode A;
+``test_kafka_eos_joiner.py:181-286`` mode B periodic commits):
+
+- **Partition step** (one wide pass, Ray Data): read transcripts, derive the
+  tagged left/right streams, add ``shard = hash(conv_id) % K`` and
+  ``epoch = ts // epoch_duration`` columns, write hive-partitioned Parquet.
+  At 100 TB this is the single all-to-all exchange; everything after is
+  embarrassingly parallel per shard and resumable per epoch.
+- **Epoch loop**: K long-lived ``JoinShardActor``s each own the keys hashing
+  to their shard and hold per-key ``OrderedJoinState`` across epochs (the
+  "one StreamBuffer per key-group" design the reference implies via Kafka
+  message keys). Per epoch each shard reads only its own partition directory,
+  replays it in pinned (ts, side, tie) order, stages its output part file,
+  and snapshots its state; the driver then atomically commits the epoch
+  manifest (the Kafka-transaction analog binding input cursors to output).
+- **Resume**: restore each shard's snapshot at the last committed epoch and
+  re-run only uncommitted epochs. A second full run over committed input
+  emits 0 new rows (the reference's idempotent-replay proof,
+  ``test_kafka_eos_joiner.py:285-290``).
+
+Because epochs are event-time slices and replay order within a key is the
+same pinned sort as the batch path, the streaming output row set equals the
+batch ``flagship_join`` output — asserted in tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from statefulstreamprocessor_ray.functions.streams import StreamSpec, tag_streams_batch
+from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+from statefulstreamprocessor_ray.state.checkpoint import CheckpointStore
+from statefulstreamprocessor_ray.state.stream_buffer import OrderedJoinState, case_name
+
+US = 1_000_000
+
+
+def stable_key_hash(keys: np.ndarray) -> np.ndarray:
+    """Deterministic (cross-process) vectorized string hash; pandas'
+    hash_array uses a fixed key, unlike Python's salted hash()."""
+    return pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False)
+
+
+@dataclass
+class StreamingJoinConfig:
+    input_path: str
+    work_dir: str
+    out_dir: str
+    n_shards: int = 4
+    epoch_duration_s: float = 60.0
+    delta_time: float | None = None
+    allowed_lateness_s: float = 0.0
+    spec: StreamSpec = field(default_factory=StreamSpec)
+    payload_cols: tuple = ("turn_idx", "text", "tool")
+
+
+def partition_input(cfg: StreamingJoinConfig) -> str:
+    """Phase 0: tag streams and hive-partition by (shard, epoch). Resumable:
+    skipped when the done-marker matches the input fingerprint."""
+    import ray.data
+
+    part_dir = os.path.join(cfg.work_dir, "partitioned")
+    marker = os.path.join(part_dir, "_partition_done.json")
+    files = sorted(
+        os.path.join(cfg.input_path, f)
+        for f in os.listdir(cfg.input_path)
+        if f.endswith(".parquet")
+    )
+    fingerprint = [[f, os.path.getsize(f)] for f in files]
+    if os.path.exists(marker):
+        with open(marker) as m:
+            done = json.load(m)
+        if done["fingerprint"] == fingerprint and done["n_shards"] == cfg.n_shards:
+            return part_dir
+
+    spec, n_shards = cfg.spec, cfg.n_shards
+    span_us = int(cfg.epoch_duration_s * US)
+
+    def tag_and_partition(batch: pa.Table) -> pa.Table:
+        tagged = tag_streams_batch(batch, spec)
+        keys = np.asarray(tagged[spec.key_col].to_pylist(), dtype=object)
+        shard = (stable_key_hash(keys) % n_shards).astype(np.int32)
+        ts = pc.cast(pc.cast(tagged[spec.ts_col], pa.timestamp("us")), pa.int64())
+        epoch = pc.cast(
+            pc.floor(pc.divide(pc.cast(ts, pa.float64()), span_us)), pa.int64()
+        )
+        tagged = tagged.append_column("shard", pa.array(shard, pa.int32()))
+        tagged = tagged.append_column("epoch", epoch)
+        return tagged
+
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(tag_and_partition, batch_format="pyarrow", zero_copy_batch=True)
+    tmp_dir = os.path.join(cfg.work_dir, "_partition_tmp")
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.write_parquet(tmp_dir, partition_cols=["shard", "epoch"])
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)
+    with open(marker, "w") as m:
+        json.dump({"fingerprint": fingerprint, "n_shards": cfg.n_shards}, m)
+    return part_dir
+
+
+def list_epochs(part_dir: str) -> list[int]:
+    epochs = set()
+    for shard_dir in os.listdir(part_dir):
+        if not shard_dir.startswith("shard="):
+            continue
+        for e in os.listdir(os.path.join(part_dir, shard_dir)):
+            if e.startswith("epoch="):
+                epochs.add(int(e.split("=")[1]))
+    return sorted(epochs)
+
+
+@ray.remote
+class JoinShardActor:
+    """Owns per-key join state for one hash shard, across epochs."""
+
+    def __init__(self, shard_id: int, cfg_dict: dict, ckpt_dir: str):
+        self.shard_id = shard_id
+        self.key_col = cfg_dict["key_col"]
+        self.ts_col = cfg_dict["ts_col"]
+        self.tie_col = cfg_dict["tie_col"]
+        self.payload_cols = list(cfg_dict["payload_cols"])
+        self.delta_us = cfg_dict["delta_us"]
+        self.states: dict[str, OrderedJoinState] = {}
+        self.ckpt = CheckpointStore(ckpt_dir)
+        self.counters = {"ingested": 0, "joined": 0}
+        self.frontier_us = -(2**62)  # this shard's event-time frontier
+
+    def restore(self, last_committed_epoch: int) -> int:
+        """Load the snapshot at/just-before the last committed epoch; prune
+        any newer (uncommitted) snapshots. Returns the restored epoch or -1."""
+        self.states = {}
+        self.counters = {"ingested": 0, "joined": 0}
+        if last_committed_epoch < 0:
+            self.ckpt.prune_after(self.shard_id, -(2**62))
+            return -1
+        found = self.ckpt.load_at_or_before(self.shard_id, last_committed_epoch)
+        self.ckpt.prune_after(self.shard_id, last_committed_epoch)
+        if found is None:
+            return -1
+        epoch, snap = found
+        self.states = {
+            k: OrderedJoinState.restore(s) for k, s in snap["states"].items()
+        }
+        self.counters = snap["counters"]
+        self.frontier_us = snap.get("frontier_us", -(2**62))
+        return epoch
+
+    def process_epoch(self, epoch: int, epoch_dir: str | None, sink_dir: str) -> dict:
+        """Replay this shard's slice of one epoch; stage the output part file;
+        snapshot state. The driver commits the manifest afterwards."""
+        sink = ExactlyOnceParquetSink(sink_dir)
+        pairs_l, pairs_r, pairs_case, pairs_key = [], [], [], []
+        max_ts_us = -(2**62)
+
+        if epoch_dir is not None and os.path.isdir(epoch_dir):
+            cols = [self.key_col, self.ts_col, self.tie_col, "stream_side"] + [
+                c for c in self.payload_cols if c not in (self.tie_col,)
+            ]
+            table = pq.read_table(epoch_dir, columns=list(dict.fromkeys(cols)))
+            idx = pc.sort_indices(
+                table,
+                sort_keys=[
+                    (self.key_col, "ascending"),
+                    (self.ts_col, "ascending"),
+                    ("stream_side", "ascending"),
+                    (self.tie_col, "ascending"),
+                ],
+            )
+            table = table.take(idx).combine_chunks()
+            keys = table[self.key_col].to_pylist()
+            ts = pc.cast(table[self.ts_col], pa.int64()).to_pylist()
+            if ts:
+                max_ts_us = max(ts)
+                if max_ts_us > self.frontier_us:
+                    self.frontier_us = max_ts_us
+            sides = table["stream_side"].to_pylist()
+            payload_arrays = [table[c].to_pylist() for c in self.payload_cols]
+            payload_arrays.append(ts)
+
+            states = self.states
+            delta_us = self.delta_us
+            n = len(keys)
+            i = 0
+            while i < n:
+                key = keys[i]
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = OrderedJoinState(delta_time=delta_us)
+                ingest = st.ingest
+                j = i
+                while j < n and keys[j] == key:
+                    # ref IS the payload tuple: pairs carry their own data and
+                    # snapshots serialize live buffers with payloads attached.
+                    ref = tuple(a[j] for a in payload_arrays)
+                    ingest(sides[j], ts[j], ref)
+                    j += 1
+                l, r, c = st.drain()
+                pairs_l.extend(l)
+                pairs_r.extend(r)
+                pairs_case.extend(c)
+                pairs_key.extend([key] * len(l))
+                self.counters["ingested"] += j - i
+                i = j
+
+        self.counters["joined"] += len(pairs_l)
+        out = self._pairs_to_table(pairs_key, pairs_l, pairs_r, pairs_case)
+        part = sink.stage_part(epoch, f"shard{self.shard_id:04d}", out)
+        self.ckpt.save(
+            self.shard_id,
+            epoch,
+            {
+                "states": {k: s.snapshot() for k, s in self.states.items()},
+                "counters": self.counters,
+                "frontier_us": self.frontier_us,
+            },
+        )
+        part["shard"] = self.shard_id
+        part["max_ts_us"] = self.frontier_us
+        part["n_keys"] = len(self.states)
+        return part
+
+    def _pairs_to_table(self, keys, lrefs, rrefs, cases) -> pa.Table:
+        np_cols = len(self.payload_cols)
+        cols: dict = {self.key_col: pa.array(keys, pa.string())}
+        cols["r_ts"] = pa.array(
+            [t[np_cols] for t in lrefs], pa.int64()
+        ).cast(pa.timestamp("us"))
+        for ci, c in enumerate(self.payload_cols):
+            cols[f"r_{c}"] = pa.array([t[ci] for t in lrefs], self._payload_type(c))
+        cols["s_ts"] = pa.array(
+            [t[np_cols] for t in rrefs], pa.int64()
+        ).cast(pa.timestamp("us"))
+        for ci, c in enumerate(self.payload_cols):
+            cols[f"s_{c}"] = pa.array([t[ci] for t in rrefs], self._payload_type(c))
+        cols["join_case"] = pa.array([case_name(c) for c in cases], pa.string())
+        if not keys:
+            # pin the schema for empty parts
+            cols = {
+                self.key_col: pa.array([], pa.string()),
+                "r_ts": pa.array([], pa.timestamp("us")),
+                **{f"r_{c}": pa.array([], self._payload_type(c)) for c in self.payload_cols},
+                "s_ts": pa.array([], pa.timestamp("us")),
+                **{f"s_{c}": pa.array([], self._payload_type(c)) for c in self.payload_cols},
+                "join_case": pa.array([], pa.string()),
+            }
+        return pa.table(cols)
+
+    def _payload_type(self, col: str):
+        return pa.int32() if col == self.tie_col else pa.string()
+
+
+class StreamingJoinJob:
+    def __init__(self, cfg: StreamingJoinConfig):
+        self.cfg = cfg
+        self.sink = ExactlyOnceParquetSink(cfg.out_dir)
+        self.ckpt_dir = os.path.join(cfg.work_dir, "checkpoints")
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        """Run (or resume) the job; ``max_epochs`` limits this invocation to
+        simulate a crash/stop for resume tests."""
+        cfg = self.cfg
+        part_dir = partition_input(cfg)
+        epochs = list_epochs(part_dir)
+
+        committed = self.sink.committed_epochs()
+        assert committed == epochs[: len(committed)], (
+            "manifest set must be a prefix of the epoch sequence"
+        )
+        last_committed = committed[-1] if committed else -1
+
+        cfg_dict = {
+            "key_col": cfg.spec.key_col,
+            "ts_col": cfg.spec.ts_col,
+            "tie_col": cfg.spec.tie_col,
+            "payload_cols": cfg.payload_cols,
+            "delta_us": int(cfg.delta_time * US) if cfg.delta_time else None,
+        }
+        shards = [
+            JoinShardActor.remote(k, cfg_dict, self.ckpt_dir)
+            for k in range(cfg.n_shards)
+        ]
+        ray.get([s.restore.remote(last_committed) for s in shards])
+
+        stats = {
+            "epochs_total": len(epochs),
+            "epochs_skipped": len(committed),
+            "epochs_processed": 0,
+            "rows_emitted": 0,
+            "watermark_us": None,
+            "per_epoch": [],
+        }
+        span_us = int(cfg.epoch_duration_s * US)
+        processed = 0
+        for epoch in epochs:
+            if epoch <= last_committed:
+                continue
+            if max_epochs is not None and processed >= max_epochs:
+                break
+            parts = ray.get(
+                [
+                    s.process_epoch.remote(
+                        epoch,
+                        os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
+                        cfg.out_dir,
+                    )
+                    for k, s in enumerate(shards)
+                ]
+            )
+            watermark = min(p["max_ts_us"] for p in parts) - int(
+                cfg.allowed_lateness_s * US
+            )
+            self.sink.commit_epoch(
+                epoch,
+                parts,
+                cursor={
+                    "epoch": epoch,
+                    "epoch_start_us": epoch * span_us,
+                    "epoch_end_us": (epoch + 1) * span_us,
+                    "watermark_us": watermark,
+                },
+            )
+            rows = sum(p["rows"] for p in parts)
+            stats["rows_emitted"] += rows
+            stats["watermark_us"] = watermark
+            stats["epochs_processed"] += 1
+            stats["per_epoch"].append(
+                {"epoch": epoch, "rows": rows, "watermark_us": watermark}
+            )
+            processed += 1
+
+        for s in shards:
+            ray.kill(s)
+        with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
