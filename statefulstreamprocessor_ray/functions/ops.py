@@ -1,0 +1,174 @@
+"""Stateless per-batch operators (SURVEY.md §2.2 P-series), all vectorized.
+
+Each function takes and returns a ``ray.data.Dataset``; the per-batch bodies
+are pyarrow.compute / numpy kernels (no Python row loops). Reference cites in
+each docstring point at the behavior being re-expressed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from statefulstreamprocessor_ray.schema import normalize_epoch_to_seconds
+
+US = 1_000_000
+
+
+def filter_prefix(
+    ds: ray.data.Dataset, col: str, prefixes: tuple[str, ...]
+) -> ray.data.Dataset:
+    """P1/P7: substring/prefix pre-filter (reference ``simulator.py:31``,
+    ``StreamJoiner.java:89,207-215``)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        mask = None
+        for p in prefixes:
+            m = pc.starts_with(b[col], p)
+            mask = m if mask is None else pc.or_(mask, m)
+        return b.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def drop_nulls(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """P6: null/empty guard filter (``StreamJoiner.java:88``)."""
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[col])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def explode_events(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """P2: wide-row -> narrow-records explode (reference
+    ``stream_connector.py:40-52``: one record per quantity column).
+
+    Over the events test table the wide row's quantities are ``value`` and the
+    ``props`` JSON's ``k``; each input row emits two narrow
+    (event_id, quantity, result) rows via a vectorized concat — the unpivot
+    form of ``flat_map``.
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = pc.extract_regex(b["props"], r'"k": (?P<k>-?\d+)')
+        k_val = pc.cast(pc.struct_field(k, "k"), pa.float64())
+        return pa.table(
+            {
+                "event_id": pa.concat_arrays(
+                    [b["event_id"].combine_chunks(), b["event_id"].combine_chunks()]
+                ),
+                "quantity": pa.array(["value"] * n + ["k"] * n, pa.string()),
+                "result": pa.concat_arrays(
+                    [
+                        pc.cast(b["value"], pa.float64()).combine_chunks(),
+                        k_val.combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_ts_seconds(ds: ray.data.Dataset, ts_col: str = "ts") -> ray.data.Dataset:
+    """P4: timestamp normalization (``local_stream_buffer.py:70-82``): numeric
+    epochs ÷1000 while >= 1e11, vectorized."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        sec = normalize_epoch_to_seconds(us)
+        return pa.table({"event_id": b["event_id"], "ts_sec": sec})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def key_suffix(ds: ray.data.Dataset, col: str, n: int = 3) -> ray.data.Dataset:
+    """P8: key-extraction scalar fn (``StreamJoiner.java:217-221``:
+    ``quantity_group(q) = q[-3:]``), as the shuffle-key derivation."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        # per-row negative-start slicing isn't in utf8_slice_codeunits, so
+        # take the suffix by reversing twice (keys are ASCII identifiers).
+        rev = pc.utf8_reverse(b[col])
+        key = pc.utf8_reverse(pc.utf8_slice_codeunits(rev, 0, n))
+        return b.append_column("group_key", key)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clamp_level(ds: ray.data.Dataset, col: str = "value") -> ray.data.Dataset:
+    """P11: clamp + 5-bucket level (``StreamJoiner.java:150-172``):
+    clamped = min(|v|, 20000); level = int(clamped/20000.1*5)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.float64()).to_numpy(zero_copy_only=False)
+        clamped = np.minimum(np.abs(v), 20000.0)
+        level = np.floor(clamped / 20000.1 * 5).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "clamped": pa.array(clamped, pa.float64()),
+                "level": pa.array(level, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def order_check(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> ray.data.Dataset:
+    """P14: per-key monotonicity validator (``01_Simulator/checkOrder.py:8-20``):
+    count of arrival-order records whose event time regressed."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(seq_col, "ascending")])
+        g = group.take(idx)
+        t = pc.cast(pc.cast(g[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        viol = int((np.diff(t) < 0).sum()) if len(t) > 1 else 0
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "violations": pa.array([viol], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+
+
+def word_count(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
+    """P16: grouped word count (``05_Flink_Python/WordCount.py:45-49``),
+    scale-shaped: per-batch partial counts (combiner) then a small groupby-sum
+    over (word, partial) rows instead of shuffling every token."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = (
+            pc.split_pattern_regex(pc.utf8_lower(b[col]), r"\s+")
+            .combine_chunks()
+            .flatten()
+        )
+        s = pd.Series(toks.to_pandas())
+        s = s[s != ""]
+        vc = s.value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.astype(str), pa.string()),
+                "partial": pa.array(vc.values.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("word").aggregate(Sum("partial", alias_name="n"))
+    return out

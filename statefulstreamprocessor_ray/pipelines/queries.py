@@ -1,0 +1,486 @@
+"""Driver-contract query registry: one entry per operator (SURVEY.md §2 +
+training-data ops), each with a DuckDB oracle where SQL-expressible.
+
+Every callable takes ``sf_dir`` and returns a Dataset / pandas / Arrow result;
+computed column names match the oracle SQL aliases exactly (the driver's
+comparison sorts columns by name and hashes values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from statefulstreamprocessor_ray.functions import ops
+from statefulstreamprocessor_ray.functions.streams import StreamSpec
+from statefulstreamprocessor_ray.sources.transcripts import transcripts_from_events
+from statefulstreamprocessor_ray.stages import dedup, multimodal, similarity
+from statefulstreamprocessor_ray.stages.join import (
+    asof_join_tagged,
+    ordered_join,
+    ordered_join_events,
+)
+from statefulstreamprocessor_ray.stages.text import analyze_text, langid_sql
+from statefulstreamprocessor_ray.stages.windows import (
+    assign_sliding,
+    session_windows,
+    windowed_interpolation_join,
+)
+from statefulstreamprocessor_ray.pipelines.flagship import flagship_join
+
+US = 1_000_000
+HOUR_US = 3_600 * US
+SLIDE_US = 900 * US
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _documents(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _purchase_click_spec() -> StreamSpec:
+    return StreamSpec(
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        left_mask=lambda b: pc.equal(b["event_type"], "purchase"),
+        right_mask=lambda b: pc.equal(b["event_type"], "click"),
+    )
+
+
+def _tag_events(sf_dir: str) -> ray.data.Dataset:
+    from statefulstreamprocessor_ray.functions.streams import derive_streams
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return derive_streams(ev, _purchase_click_spec())
+
+
+# ---------------------------------------------------------------------------
+# query callables
+
+
+def q_filter_prefix(sf_dir):
+    return ops.filter_prefix(_events(sf_dir), "event_type", ("p",))
+
+
+def q_explode(sf_dir):
+    return ops.explode_events(_events(sf_dir, columns=["event_id", "value", "props"]))
+
+
+def q_ts_normalize(sf_dir):
+    return ops.normalize_ts_seconds(_events(sf_dir, columns=["event_id", "ts"]))
+
+
+def q_key_suffix(sf_dir):
+    out = ops.key_suffix(_documents(sf_dir, columns=["doc_id", "source"]), "source", 3)
+    return out.select_columns(["doc_id", "source", "group_key"])
+
+
+def q_wordcount(sf_dir):
+    return ops.word_count(_documents(sf_dir, columns=["text"]))
+
+
+def q_clamp_level(sf_dir):
+    return ops.clamp_level(_events(sf_dir, columns=["event_id", "value"]))
+
+
+def q_order_check(sf_dir):
+    return ops.order_check(_events(sf_dir, columns=["event_id", "ts", "user_id"]))
+
+
+def q_groupby_count(sf_dir):
+    return (
+        _events(sf_dir, columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_tumbling_agg(sf_dir):
+    ev = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "window_start_us": pa.array(t // HOUR_US * HOUR_US, pa.int64()),
+                "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+def q_sliding_agg(sf_dir):
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+    win = assign_sliding(ev, size_s=3600.0, slide_s=900.0, ts_col="ts")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "window_start_us": pc.multiply(b["window_id"], SLIDE_US),
+            }
+        )
+
+    return (
+        win.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_session_windows(sf_dir):
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+    return session_windows(ev, gap_s=4 * 3600.0, key_col="user_id", ts_col="ts")
+
+
+def q_windowed_join(sf_dir):
+    tagged = _tag_events(sf_dir)
+    out = windowed_interpolation_join(
+        tagged,
+        size_s=3600.0,
+        slide_s=None,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        left_value_col="value",
+        right_value_col="value",
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "window_start_us": pc.cast(
+                    pc.cast(b["window_start"], pa.timestamp("us")), pa.int64()
+                ),
+                "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "result": b["result"],
+                "level": pc.cast(b["level"], pa.int32()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_asof_join(sf_dir):
+    tagged = _tag_events(sf_dir)
+    out = asof_join_tagged(
+        tagged,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        left_cols=("event_id", "value"),
+        right_cols=("value",),
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "l_ts_us": pc.cast(pc.cast(b["l_ts"], pa.timestamp("us")), pa.int64()),
+                "l_event_id": pc.cast(b["l_event_id"], pa.int64()),
+                "l_value": b["l_value"],
+                "r_ts_us": pc.cast(pc.cast(b["r_ts"], pa.timestamp("us")), pa.int64()),
+                "r_value": b["r_value"],
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_exact(sf_dir):
+    return dedup.exact_dedup(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_ngram_jaccard(sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.5, k=3
+    )
+
+
+def q_text_stats(sf_dir):
+    return analyze_text(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_multimodal_decode(sf_dir):
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    with_payload = multimodal.attach_binary_payload(docs)
+    return multimodal.decode_media(with_payload, mode="fake")
+
+
+def q_embedding_dup(sf_dir):
+    # synthetic embeddings are near-orthogonal; 0.4 marks the "near-dup" tail
+    return dedup.embedding_dup_pairs(_embeddings(sf_dir), threshold=0.4)
+
+
+def q_ann_topk(sf_dir):
+    return similarity.brute_force_topk(
+        _embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+# rows-only (non-SQL-expressible) ------------------------------------------
+
+
+def q_lsb_join_events(sf_dir):
+    tagged = _tag_events(sf_dir)
+    return ordered_join_events(
+        tagged,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        payload_cols=("event_id", "value"),
+        delta_time=3600.0,
+    )
+
+
+def q_flagship_transcripts(sf_dir):
+    return flagship_join(transcripts_from_events(sf_dir), delta_time=3600.0)
+
+
+def q_minhash_lsh(sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.5
+    )
+
+
+def q_simhash(sf_dir):
+    return dedup.simhash_pairs(
+        _documents(sf_dir, columns=["doc_id", "text"]), max_hamming=3
+    )
+
+
+def q_lsh_topk(sf_dir):
+    return similarity.lsh_topk(_embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+QUERIES = {
+    "filter_prefix": q_filter_prefix,
+    "explode": q_explode,
+    "ts_normalize": q_ts_normalize,
+    "key_suffix": q_key_suffix,
+    "wordcount": q_wordcount,
+    "clamp_level": q_clamp_level,
+    "order_check": q_order_check,
+    "groupby_count": q_groupby_count,
+    "tumbling_agg": q_tumbling_agg,
+    "sliding_agg": q_sliding_agg,
+    "session_windows": q_session_windows,
+    "windowed_join": q_windowed_join,
+    "asof_join": q_asof_join,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "multimodal_decode": q_multimodal_decode,
+    "embedding_dup": q_embedding_dup,
+    "ann_topk": q_ann_topk,
+    "lsb_join_events": q_lsb_join_events,
+    "flagship_transcripts": q_flagship_transcripts,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "lsh_topk": q_lsh_topk,
+}
+
+
+ORACLE_SQL = {
+    "filter_prefix": "SELECT * FROM events WHERE event_type LIKE 'p%'",
+    "explode": """
+SELECT event_id, 'value' AS quantity, CAST(value AS DOUBLE) AS result FROM events
+UNION ALL
+SELECT event_id, 'k' AS quantity, CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS DOUBLE) AS result FROM events
+""",
+    "ts_normalize": """
+SELECT event_id, CAST(epoch_us(ts) AS DOUBLE)/1000/1000 AS ts_sec FROM events
+""",
+    "key_suffix": """
+SELECT doc_id, source, right(source, 3) AS group_key FROM documents
+""",
+    "wordcount": """
+SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '')) AS word
+  FROM documents
+) GROUP BY word
+""",
+    "clamp_level": """
+SELECT event_id, LEAST(ABS(value), 20000.0) AS clamped,
+       CAST(FLOOR(LEAST(ABS(value), 20000.0)/20000.1*5) AS INT) AS level
+FROM events
+""",
+    "order_check": """
+SELECT user_id, CAST(coalesce(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events)
+GROUP BY user_id
+""",
+    "groupby_count": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
+""",
+    "tumbling_agg": """
+SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+    "sliding_agg": """
+SELECT user_id, (epoch_us(ts)//900000000 - t.i)*900000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n
+FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(i)
+GROUP BY 1, 2
+""",
+    "session_windows": """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, tu,
+         CASE WHEN prev IS NULL OR tu - prev > 14400000000 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), g AS (
+  SELECT user_id, tu,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(tu) AS session_start_us, max(tu) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM g GROUP BY 1, 2
+""",
+    "windowed_join": """
+WITH w AS (
+  SELECT user_id, event_id, value, event_type, epoch_us(ts) AS tu,
+         (epoch_us(ts)//3600000000)*3600000000 AS window_start_us
+  FROM events WHERE event_type IN ('purchase','click')
+), o AS (
+  SELECT user_id, window_start_us, tu,
+    first_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+      OVER w2 AS next_l,
+    first_value(CASE WHEN event_type='purchase' THEN tu END IGNORE NULLS)
+      OVER w2 AS next_l_ts,
+    first_value(CASE WHEN event_type='click' THEN value END IGNORE NULLS)
+      OVER w2 AS next_r,
+    first_value(CASE WHEN event_type='click' THEN tu END IGNORE NULLS)
+      OVER w2 AS next_r_ts
+  FROM w
+  WINDOW w2 AS (PARTITION BY user_id, window_start_us ORDER BY tu, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, window_start_us, LEAST(next_l_ts, next_r_ts) AS ts_us,
+       LEAST(ABS(2*PI()/60 * next_l * next_r), 20000.0) AS result,
+       CAST(FLOOR(LEAST(ABS(2*PI()/60 * next_l * next_r), 20000.0)/20000.1*5) AS INT) AS level
+FROM o WHERE next_l IS NOT NULL AND next_r IS NOT NULL
+""",
+    "asof_join": """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, value, event_type
+  FROM events WHERE event_type IN ('purchase','click')
+), o AS (
+  SELECT *,
+    last_value(CASE WHEN event_type='click' THEN value END IGNORE NULLS) OVER w AS r_value,
+    last_value(CASE WHEN event_type='click' THEN tu END IGNORE NULLS) OVER w AS r_ts_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY tu, CASE WHEN event_type='click' THEN 0 ELSE 1 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, tu AS l_ts_us, CAST(event_id AS BIGINT) AS l_event_id,
+       value AS l_value, r_ts_us, r_value
+FROM o WHERE event_type='purchase'
+""",
+    "dedup_exact": """
+SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""",
+    "ngram_jaccard": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+      END) AS g
+    FROM t WHERE len(ws) > 0
+  )
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+""",
+    "text_stats": langid_sql("documents"),
+    "multimodal_decode": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(coalesce(text,''))) % 64 AS BIGINT) AS width,
+       CAST((octet_length(encode(coalesce(text,'')))//64) % 64 AS BIGINT) AS height,
+       CAST(octet_length(encode(coalesce(text,''))) % 7 + 1 AS BIGINT) AS n_frames
+FROM documents
+""",
+    # cosine oracles in explicit DOUBLE math (DuckDB's list_cosine_similarity
+    # runs in float32); engine and oracle round to 6 dp before compare/rank.
+    "embedding_dup": """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), n AS (
+  SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id
+), d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v*b.v) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), c AS (
+  SELECT vec_a, vec_b, dot/(na.nrm*nb.nrm) AS cos
+  FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos_r FROM c WHERE round(cos, 6) >= 0.4
+""",
+    "ann_topk": """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), n AS (
+  SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id
+), d AS (
+  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id, sum(q.v*e2.v) AS dot
+  FROM e q JOIN e e2 ON q.i = e2.i
+  WHERE q.vec_id IN (0,1,2,3,4)
+  GROUP BY 1, 2
+), s AS (
+  SELECT query_id, neighbor_id,
+         round(dot/(nq.nrm*nn.nrm), 6) AS sim_r
+  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+""",
+}

@@ -1,0 +1,389 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact dedup: content-hash groupby, keep min id (hash-partition + per-group
+  first — the only shuffle is over (hash, id) pairs, not documents),
+- n-gram Jaccard dedup: exact-complete — candidate pairs via shared-shingle
+  blocking (any pair with Jaccard > 0 shares a shingle, so blocking loses
+  nothing), verified with exact Jaccard,
+- MinHash + LSH near-dup: shingle -> minhash signature -> banded LSH buckets
+  -> candidate pairs -> exact-Jaccard verify (probabilistic recall, scale path),
+- SimHash near-dup: 64-bit simhash + banded blocking, Hamming-distance verify,
+- embedding cosine near-dup over a list<float> column.
+
+All shingling/hashing is deterministic (md5-derived), never Python's salted
+``hash``. Pairs are emitted once with a < b.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Group identical texts; emit (text, doc_id=min id, n_dups)."""
+    out = ds.groupby(text_col).aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+    return out
+
+
+def _word_shingles(text: str, k: int) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _shingle_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+class ShingleStage:
+    """map_batches actor: text -> distinct k-word-shingle hash rows
+    (doc_id, shingle_hash). Explode form of the dedup candidate generation."""
+
+    def __init__(self, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+        self.k, self.text_col, self.id_col = k, text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            for sh in _word_shingles(text, self.k):
+                ids.append(doc_id)
+                hashes.append(_shingle_hash64(sh))
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64), "sh": np.array(hashes, dtype=np.uint64)}
+        )
+
+
+def _bucket_pairs(keys: list[str], n_buckets: int = 64):
+    """Pair-emission over coarse hash buckets: shuffling thousands of tiny
+    per-shingle groups through groupby().map_groups() drowns in per-group
+    overhead, so we group by ``hash(key) % n_buckets`` (each bucket fully
+    contains its keys) and emit all within-key pairs of a bucket in one
+    vectorized pandas pass."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[keys[0]].to_numpy(dtype=np.uint64)
+        for k in keys[1:]:
+            h = h * np.uint64(1000003) + df[k].to_numpy(dtype=np.uint64)
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(list(keys), sort=False):
+            docs = np.unique(grp["doc_id"].to_numpy())
+            if len(docs) < 2:
+                continue
+            ai, bi = np.triu_indices(len(docs), k=1)
+            out_a.append(docs[ai])
+            out_b.append(docs[bi])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    return add_bucket, pairs_in_bucket
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Exact n-gram-Jaccard duplicate pairs: (doc_a, doc_b, jaccard >= t).
+
+    Shuffle-shape: shingle rows groupby(shingle) -> per-shingle doc lists ->
+    pair partials -> groupby(pair) intersection counts. Candidate generation
+    is complete because J(a,b) > 0 implies a shared shingle. Hot shingles
+    (appearing in >max_df docs) would explode pairwise; callers at scale
+    should drop them — here df is bounded by the corpus.
+    """
+    sh = ds.map_batches(
+        ShingleStage, fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas", concurrency=2,
+    )
+    # |A|: per-doc distinct-shingle counts — one small aggregate to the driver.
+    sizes = (
+        sh.groupby("doc_id").count().to_pandas().set_index("doc_id")["count()"]
+    )
+    # |A ∩ B|: per-shingle pair explosion stays in the cluster; the driver only
+    # sees the (pair, intersection) aggregate.
+    add_bucket, pairs_in_bucket = _bucket_pairs(["sh"])
+    inter = (
+        sh.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .to_pandas()
+    )
+    rows = []
+    for a, b, c in zip(inter["doc_a"], inter["doc_b"], inter["count()"]):
+        union = int(sizes[a]) + int(sizes[b]) - int(c)
+        jac = int(c) / union if union else 0.0
+        if jac >= threshold:
+            rows.append((int(a), int(b), jac))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _minhash_params(n_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """map_batches actor: doc -> (doc_id, band_id, band_hash) LSH bucket rows.
+
+    Signature: n_perm universal-hash permutations over 64-bit shingle hashes;
+    bands of r rows hashed to a bucket key. Deterministic given (n_perm, seed).
+    """
+
+    def __init__(self, n_perm=64, bands=16, k=3, text_col="text", id_col="doc_id", seed=7):
+        assert n_perm % bands == 0
+        self.a, self.b = _minhash_params(n_perm, seed)
+        self.n_perm, self.bands, self.r = n_perm, bands, n_perm // bands
+        self.k, self.text_col, self.id_col = k, text_col, id_col
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = np.array(
+            [_shingle_hash64(s) for s in _word_shingles(text, self.k)], dtype=np.uint64
+        )
+        if len(sh) == 0:
+            return None
+        # (a*x + b) mod p, min over shingles, per permutation — vectorized
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for bi in range(self.bands):
+                h = hashlib.md5(sig[bi * self.r : (bi + 1) * self.r].tobytes()).digest()
+                ids.append(doc_id)
+                band_ids.append(bi)
+                band_hashes.append(int.from_bytes(h[:8], "big"))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "band_id": np.array(band_ids, dtype=np.int32),
+                "band_hash": np.array(band_hashes, dtype=np.uint64),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with exact
+    Jaccard (so false positives are filtered; recall is probabilistic)."""
+    buckets = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={
+            "n_perm": n_perm, "bands": bands, "k": k,
+            "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=2,
+    )
+    add_bucket, pairs_in_bucket = _bucket_pairs(["band_id", "band_hash"])
+    cand_df = (
+        buckets.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .to_pandas()
+    )
+    cand = list(zip(cand_df["doc_a"].astype(int), cand_df["doc_b"].astype(int)))
+
+    docs_df = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(docs_df[id_col], docs_df[text_col]))
+    rows = []
+    shingle_cache: dict[int, set] = {}
+
+    def shingles(d):
+        if d not in shingle_cache:
+            shingle_cache[d] = _word_shingles(texts.get(d) or "", k)
+        return shingle_cache[d]
+
+    for a, b in sorted(cand):
+        sa, sb = shingles(a), shingles(b)
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 0.0
+        if jac >= threshold:
+            rows.append((a, b, round(jac, 6)))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_r": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHashStage:
+    """map_batches actor: doc -> 64-bit simhash over word-shingle hashes."""
+
+    def __init__(self, k: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+        self.k, self.text_col, self.id_col = k, text_col, id_col
+
+    def simhash(self, text: str) -> int:
+        hs = np.array(
+            [_shingle_hash64(s) for s in _word_shingles(text, self.k)], dtype=np.uint64
+        )
+        if len(hs) == 0:
+            return 0
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch[self.id_col].astype(np.int64),
+                "simhash": np.array(
+                    [self.simhash(t) for t in batch[self.text_col].fillna("")],
+                    dtype=np.uint64,
+                ),
+            }
+        )
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Blocking: 4 16-bit bands — any pair within Hamming 3 agrees on >= 1 band
+    (pigeonhole), so candidate generation is complete for max_hamming <= 3.
+    """
+    sims = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas",
+        concurrency=2,
+    ).to_pandas()
+    ids = sims["doc_id"].to_numpy()
+    hashes = sims["simhash"].to_numpy(dtype=np.uint64)
+
+    cand = set()
+    for band in range(4):
+        keys = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        dfb = pd.DataFrame({"id": ids, "key": keys})
+        for _, grp in dfb.groupby("key"):
+            docs = sorted(grp["id"])
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    cand.add((docs[i], docs[j]))
+    by_id = dict(zip(ids, hashes))
+    rows = []
+    for a, b in sorted(cand):
+        d = int(bin(int(by_id[a]) ^ int(by_id[b])).count("1"))
+        if d <= max_hamming:
+            rows.append((a, b, d))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+
+
+def embedding_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block: int = 2048,
+) -> pa.Table:
+    """Pairs with cosine similarity >= threshold over a list<float> column.
+
+    Batched matmul against the (broadcastable) normalized matrix; at scale the
+    right side would be an LSH/IVF bucket instead of the full corpus — here the
+    corpus is the bucket.
+    """
+    parts = []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=100_000, batch_format="pyarrow"
+    ):
+        parts.append(b)
+    tbl = pa.concat_tables(parts)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    mat = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+
+    rows = []
+    n = len(ids)
+    for i0 in range(0, n, block):
+        sims = np.round(unit[i0 : i0 + block] @ unit.T, 6)  # rounded before threshold
+        for ii in range(sims.shape[0]):
+            gi = i0 + ii
+            js = np.flatnonzero(sims[ii] >= threshold)
+            for j in js:
+                if ids[gi] < ids[j]:
+                    rows.append((int(ids[gi]), int(ids[j]), float(sims[ii, j])))
+    rows.sort()
+    return pa.table(
+        {
+            "vec_a": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_b": pa.array([r[1] for r in rows], pa.int64()),
+            "cos_r": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )

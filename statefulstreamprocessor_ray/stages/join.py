@@ -101,6 +101,57 @@ def ordered_join_events(
     )
 
 
+def asof_join_tagged(
+    tagged: ray.data.Dataset,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    left_cols: Sequence[str] = ("turn_idx", "text"),
+    right_cols: Sequence[str] = ("text",),
+    side_col: str = "stream_side",
+) -> ray.data.Dataset:
+    """Per-key as-of join: each left record (side 0) matched with the latest
+    right record (side 1) at-or-before its timestamp; ties among right records
+    resolve to the last in (ts, tie) order. Vectorized searchsorted per group
+    (the ``merge_asof`` pattern from the as-of join playbook)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (tie_col, "ascending")]
+        )
+        group = group.take(idx).combine_chunks()
+        side = group[side_col].to_numpy(zero_copy_only=False)
+        t = pc.cast(pc.cast(group[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        lt = group.take(pa.array(li, pa.int64()))
+        cols: dict = {key_col: lt[key_col], "l_ts": lt[ts_col]}
+        for c in left_cols:
+            cols[f"l_{c}"] = lt[c]
+        if len(ri) == 0:
+            cols["r_ts"] = pa.array([None] * len(li), pa.timestamp("us"))
+            for c in right_cols:
+                cols[f"r_{c}"] = pa.array([None] * len(li), group.schema.field(c).type)
+            return pa.table(cols)
+        pos = np.searchsorted(t[ri], t[li], side="right") - 1
+        matched = pos >= 0
+        rt_full = group.take(pa.array(ri[np.clip(pos, 0, None)], pa.int64()))
+        null_mask = pa.array(~matched)
+        cols["r_ts"] = pc.if_else(
+            null_mask, pa.scalar(None, pa.timestamp("us")), rt_full[ts_col].combine_chunks()
+        )
+        for c in right_cols:
+            typ = group.schema.field(c).type
+            cols[f"r_{c}"] = pc.if_else(
+                null_mask, pa.scalar(None, typ), rt_full[c].combine_chunks()
+            )
+        return pa.table(cols)
+
+    return tagged.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+
+
 def ordered_join(
     transcripts: ray.data.Dataset,
     spec: StreamSpec | None = None,

@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines.
+
+Stateful actor-pool stage (regexes compiled once per actor in ``__init__``,
+work per batch in ``__call__`` — the map_batches(Cls, concurrency=N) pattern):
+token counting, punctuation/quality stats, n-gram-heuristic language ID, and
+document fingerprinting. The heuristics are deliberately simple, closed-form
+and integer/fixed-order so a DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# Stopword lists shared by the engine and the SQL oracle generator. Scores are
+# token-membership counts; prediction is argmax with this precedence order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+    "es": ("el", "los", "las", "y", "que", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+LANG_ORDER = ("en", "fr", "es", "de", "zh")
+PUNCT_CLASS = r"[.!?,;:]"
+
+
+class TextAnalyzer:
+    """map_batches actor: per-document text statistics + langid + fingerprint."""
+
+    def __init__(self):
+        self.tok = re.compile(r"\s+")
+        self.punct = re.compile(PUNCT_CLASS)
+        self.han = re.compile(r"[一-鿿]")
+        self.stop = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = texts.str.lower().str.split(self.tok)
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n_tokens = toks.map(len).astype(np.int64)
+        n_chars = texts.str.len().astype(np.int64)
+        n_punct = texts.map(lambda t: len(self.punct.findall(t))).astype(np.int64)
+
+        scores = {
+            lang: toks.map(lambda ws, s=self.stop[lang]: sum(w in s for w in ws))
+            for lang in LANG_STOPWORDS
+        }
+        scores["zh"] = texts.map(lambda t: len(self.han.findall(t)))
+        score_mat = np.column_stack([scores[l].values for l in LANG_ORDER])
+        pred = np.array(LANG_ORDER)[np.argmax(score_mat, axis=1)]  # ties -> order
+
+        # integer quality score 0..3: token-count band, punct sanity, length band
+        q = (
+            ((n_tokens >= 5) & (n_tokens <= 1000)).astype(np.int64)
+            + (n_punct * 10 <= n_chars).astype(np.int64)
+            + ((n_chars >= 20) & (n_chars <= 20000)).astype(np.int64)
+        )
+
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_tokens": n_tokens,
+                "n_chars_m": n_chars,
+                "n_punct": n_punct,
+                "pred_lang": pred,
+                "quality": q,
+                "fingerprint": texts.map(
+                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                ),
+            }
+        )
+        return out
+
+
+def analyze_text(
+    ds: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4096
+) -> ray.data.Dataset:
+    # concurrency x num_cpus must leave CPUs for the read/write stages —
+    # an actor pool that reserves every core starves its own producers.
+    return ds.map_batches(
+        TextAnalyzer,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def langid_sql(table: str = "documents") -> str:
+    """Generate the DuckDB oracle for TextAnalyzer's langid + stats, from the
+    same stopword lists (single source of truth)."""
+    score_exprs = {}
+    for lang, words in LANG_STOPWORDS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_exprs[lang] = (
+            f"len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), "
+            f"x -> x IN ({in_list})))"
+        )
+    score_exprs["zh"] = (
+        "len(regexp_extract_all(coalesce(text,''), '[\\x{4e00}-\\x{9fff}]'))"
+    )
+    # argmax with LANG_ORDER precedence: lang wins iff strictly greater than
+    # every earlier lang and >= every later lang.
+    cases = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = []
+        for j, other in enumerate(LANG_ORDER):
+            if j < i:
+                conds.append(f"s_{lang} > s_{other}")
+            elif j > i:
+                conds.append(f"s_{lang} >= s_{other}")
+        cases.append(
+            "WHEN " + " AND ".join(conds) + f" THEN '{lang}'" if conds else None
+        )
+    case_sql = "CASE " + " ".join(c for c in cases if c) + f" ELSE '{LANG_ORDER[0]}' END"
+    scores_sql = ", ".join(f"{e} AS s_{l}" for l, e in score_exprs.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text,'') AS t, {scores_sql},
+    len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '')) AS n_tokens,
+    length(coalesce(text,'')) AS n_chars_m,
+    len(regexp_extract_all(coalesce(text,''), '{PUNCT_CLASS}')) AS n_punct
+  FROM {table}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars_m AS BIGINT) AS n_chars_m,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       {case_sql} AS pred_lang,
+       CAST((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_punct * 10 <= n_chars_m THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars_m BETWEEN 20 AND 20000 THEN 1 ELSE 0 END) AS BIGINT) AS quality,
+       md5(t) AS fingerprint
+FROM base
+"""

@@ -131,17 +131,18 @@ def session_windows(
         new = np.ones(len(t), dtype=bool)
         if len(t) > 1:
             new[1:] = np.diff(t) > gap_us
-        sid = np.cumsum(new) - 1
         starts = t[new]
         ends = np.maximum.reduceat(t, np.flatnonzero(new))
         counts = np.diff(np.append(np.flatnonzero(new), len(t)))
-        key = group[key_col][0].as_py() if group.num_rows else None
+        key_rep = group[key_col].take(
+            pa.array(np.zeros(len(starts), dtype=np.int64))
+        )  # key-typed repeat
         return pa.table(
             {
-                key_col: pa.array([key] * len(starts), pa.string()),
+                key_col: key_rep,
                 "session_id": pa.array(np.arange(len(starts)), pa.int64()),
-                "session_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
-                "session_end": pa.array(ends, pa.int64()).cast(pa.timestamp("us")),
+                "session_start_us": pa.array(starts, pa.int64()),
+                "session_end_us": pa.array(ends, pa.int64()),
                 "n_rows": pa.array(counts, pa.int64()),
             }
         )
