@@ -74,6 +74,76 @@ def replay_join_table(
     return pa.table(cols)
 
 
+def replay_join_multikey(
+    shard: pa.Table,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    payload_cols: Sequence[str],
+    delta_us: int | None,
+    side_col: str = "stream_side",
+) -> pa.Table:
+    """Replay a whole hash shard (many keys) in one call.
+
+    One vectorized sort by (key, ts, side, tie), key-run boundaries via
+    dictionary codes, then the tight per-key state-machine loop; a single
+    ``take`` materializes all pairs. Amortizes per-group overhead that makes
+    one-map_groups-call-per-conv slow at millions of keys.
+    """
+    idx = pc.sort_indices(
+        shard,
+        sort_keys=[
+            (key_col, "ascending"),
+            (ts_col, "ascending"),
+            (side_col, "ascending"),
+            (tie_col, "ascending"),
+        ],
+    )
+    shard = shard.take(idx).combine_chunks()
+    n = shard.num_rows
+    if n == 0:
+        return replay_join_table(shard, key_col, ts_col, tie_col, payload_cols, delta_us, presorted=True)
+
+    key_codes = pc.dictionary_encode(shard[key_col]).combine_chunks().indices.to_numpy(
+        zero_copy_only=False
+    )
+    bounds = np.flatnonzero(np.diff(key_codes) != 0) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+
+    ts_us = pc.cast(shard[ts_col], pa.int64()).to_numpy(zero_copy_only=False).tolist()
+    sides = shard[side_col].to_numpy(zero_copy_only=False).tolist()
+
+    all_l: list[int] = []
+    all_r: list[int] = []
+    all_c: list[int] = []
+    all_seq: list[int] = []
+    for i0, i1 in zip(starts.tolist(), ends.tolist()):
+        st = OrderedJoinState(delta_time=delta_us)
+        ingest = st.ingest
+        for i in range(i0, i1):
+            ingest(sides[i], ts_us[i], i)
+        l, r, c = st.drain()
+        all_l.extend(l)
+        all_r.extend(r)
+        all_c.extend(c)
+        all_seq.extend(range(len(l)))
+
+    lt = shard.take(pa.array(all_l, pa.int64()))
+    rt = shard.take(pa.array(all_r, pa.int64()))
+    cols: dict = {key_col: lt[key_col], "r_ts": lt[ts_col]}
+    for c_ in payload_cols:
+        cols[f"r_{c_}"] = lt[c_]
+    cols["s_ts"] = rt[ts_col]
+    for c_ in payload_cols:
+        cols[f"s_{c_}"] = rt[c_]
+    cols["join_case"] = pa.array(
+        _CASE_DICT[np.asarray(all_c, dtype=np.int8)] if all_c else [], pa.string()
+    )
+    cols["emit_seq"] = pa.array(np.asarray(all_seq, dtype=np.int64))
+    return pa.table(cols)
+
+
 def ordered_join_events(
     events: ray.data.Dataset,
     key_col: str = "conv_id",
@@ -81,13 +151,39 @@ def ordered_join_events(
     tie_col: str = "turn_idx",
     payload_cols: Sequence[str] = ("turn_idx", "text", "tool"),
     delta_time: float | None = None,
+    n_shards: int | None = None,
     num_cpus: float = 1,
 ) -> ray.data.Dataset:
-    """Join an already-tagged event stream (has ``stream_side``)."""
+    """Join an already-tagged event stream (has ``stream_side``).
+
+    Physical plan: one map_batches adds ``_shard = hash(key) % P`` (P defaults
+    to 4x cluster CPUs), then a single int-keyed shuffle co-locates each key's
+    rows, and each shard replays all its keys in one vectorized call — the
+    explicit partitioned-join pattern (cheaper than a per-key groupby when
+    keys number in the millions)."""
+    import pandas as pd
+    import ray as _ray
+
     delta_us = int(delta_time * 1_000_000) if delta_time else None
+    if n_shards is None:
+        # ~2 shards per core: enough slots to balance, few enough that the
+        # sort shuffle's M x R object matrix stays small (block count is the
+        # dominant cost of Ray's sort shuffle on one node).
+        try:
+            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            n_shards = 32
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
 
     def fn(group: pa.Table) -> pa.Table:
-        return replay_join_table(
+        group = group.drop_columns(["_shard"])
+        return replay_join_multikey(
             group,
             key_col=key_col,
             ts_col=ts_col,
@@ -96,7 +192,8 @@ def ordered_join_events(
             delta_us=delta_us,
         )
 
-    return events.groupby(key_col).map_groups(
+    tagged = events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_shard").map_groups(
         fn, batch_format="pyarrow", num_cpus=num_cpus
     )
 
