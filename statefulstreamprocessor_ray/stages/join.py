@@ -23,6 +23,7 @@ import ray.data
 
 from statefulstreamprocessor_ray.functions.streams import StreamSpec, derive_streams
 from statefulstreamprocessor_ray.state.stream_buffer import OrderedJoinState
+from statefulstreamprocessor_ray.state.vectorized import sorted_replay_pairs
 
 _CASE_DICT = np.array(["JR1", "JR2", "JS2"])
 
@@ -111,23 +112,38 @@ def replay_join_multikey(
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [n]))
 
-    ts_us = pc.cast(shard[ts_col], pa.int64()).to_numpy(zero_copy_only=False).tolist()
-    sides = shard[side_col].to_numpy(zero_copy_only=False).tolist()
+    ts_np = pc.cast(shard[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+    side_np = shard[side_col].to_numpy(zero_copy_only=False)
+    ts_list = sides_list = None  # lazily materialized for the small-key path
 
-    all_l: list[int] = []
-    all_r: list[int] = []
-    all_c: list[int] = []
-    all_seq: list[int] = []
+    parts_l, parts_r, parts_c, parts_seq = [], [], [], []
     for i0, i1 in zip(starts.tolist(), ends.tolist()):
-        st = OrderedJoinState(delta_time=delta_us)
-        ingest = st.ingest
-        for i in range(i0, i1):
-            ingest(sides[i], ts_us[i], i)
-        l, r, c = st.drain()
-        all_l.extend(l)
-        all_r.extend(r)
-        all_c.extend(c)
-        all_seq.extend(range(len(l)))
+        if i1 - i0 >= 32:
+            # closed-form vectorized replay (exact; differential-tested)
+            l, r, c = sorted_replay_pairs(ts_np[i0:i1], side_np[i0:i1], delta_us)
+            parts_l.append(l + i0)
+            parts_r.append(r + i0)
+            parts_c.append(c)
+            parts_seq.append(np.arange(len(l), dtype=np.int64))
+        else:
+            # tiny keys: the per-row machine beats numpy call overhead
+            if ts_list is None:
+                ts_list = ts_np.tolist()
+                sides_list = side_np.tolist()
+            st = OrderedJoinState(delta_time=delta_us)
+            ingest = st.ingest
+            for i in range(i0, i1):
+                ingest(sides_list[i], ts_list[i], i)
+            l, r, c = st.drain()
+            parts_l.append(np.asarray(l, dtype=np.int64))
+            parts_r.append(np.asarray(r, dtype=np.int64))
+            parts_c.append(np.asarray(c, dtype=np.int8))
+            parts_seq.append(np.arange(len(l), dtype=np.int64))
+
+    all_l = np.concatenate(parts_l) if parts_l else np.empty(0, np.int64)
+    all_r = np.concatenate(parts_r) if parts_r else np.empty(0, np.int64)
+    all_c = np.concatenate(parts_c) if parts_c else np.empty(0, np.int8)
+    all_seq = np.concatenate(parts_seq) if parts_seq else np.empty(0, np.int64)
 
     lt = shard.take(pa.array(all_l, pa.int64()))
     rt = shard.take(pa.array(all_r, pa.int64()))
@@ -137,10 +153,8 @@ def replay_join_multikey(
     cols["s_ts"] = rt[ts_col]
     for c_ in payload_cols:
         cols[f"s_{c_}"] = rt[c_]
-    cols["join_case"] = pa.array(
-        _CASE_DICT[np.asarray(all_c, dtype=np.int8)] if all_c else [], pa.string()
-    )
-    cols["emit_seq"] = pa.array(np.asarray(all_seq, dtype=np.int64))
+    cols["join_case"] = pa.array(_CASE_DICT[all_c] if len(all_c) else [], pa.string())
+    cols["emit_seq"] = pa.array(all_seq)
     return pa.table(cols)
 
 
