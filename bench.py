@@ -94,7 +94,7 @@ def bench_streaming(tpath: str, tag: str) -> dict:
         input_path=tpath,
         work_dir=f"{base}/work",
         out_dir=f"{base}/out",
-        n_shards=min(NUM_CPUS, 16),
+        n_shards=NUM_CPUS,
         epoch_duration_s=120.0,
         delta_time=5.0,
     )

@@ -128,7 +128,15 @@ def list_epochs(part_dir: str) -> list[int]:
 
 @ray.remote
 class JoinShardActor:
-    """Owns per-key join state for one hash shard, across epochs."""
+    """Owns per-key join state for one hash shard, across epochs.
+
+    State is the *carry table*: the minimal suffix of each key's event history
+    that determines future emissions (the closed-form equivalent of the
+    LocalStreamBuffer's live buffers — see state/vectorized.py). Each epoch:
+    concat(carry, epoch rows) -> one vectorized multi-key replay -> keep pairs
+    triggered by new rows -> recompute the carry suffix. Checkpoints pickle
+    the carry table + counters.
+    """
 
     def __init__(self, shard_id: int, cfg_dict: dict, ckpt_dir: str):
         self.shard_id = shard_id
@@ -137,7 +145,7 @@ class JoinShardActor:
         self.tie_col = cfg_dict["tie_col"]
         self.payload_cols = list(cfg_dict["payload_cols"])
         self.delta_us = cfg_dict["delta_us"]
-        self.states: dict[str, OrderedJoinState] = {}
+        self.carry: pa.Table | None = None
         self.ckpt = CheckpointStore(ckpt_dir)
         self.counters = {"ingested": 0, "joined": 0}
         self.frontier_us = -(2**62)  # this shard's event-time frontier
@@ -145,7 +153,7 @@ class JoinShardActor:
     def restore(self, last_committed_epoch: int) -> int:
         """Load the snapshot at/just-before the last committed epoch; prune
         any newer (uncommitted) snapshots. Returns the restored epoch or -1."""
-        self.states = {}
+        self.carry = None
         self.counters = {"ingested": 0, "joined": 0}
         if last_committed_epoch < 0:
             self.ckpt.prune_after(self.shard_id, -(2**62))
@@ -155,27 +163,43 @@ class JoinShardActor:
         if found is None:
             return -1
         epoch, snap = found
-        self.states = {
-            k: OrderedJoinState.restore(s) for k, s in snap["states"].items()
-        }
+        self.carry = snap["carry"]
         self.counters = snap["counters"]
         self.frontier_us = snap.get("frontier_us", -(2**62))
         return epoch
 
+    def _columns(self) -> list[str]:
+        cols = [self.key_col, self.ts_col, self.tie_col, "stream_side"]
+        cols += [c for c in self.payload_cols if c not in cols]
+        return list(dict.fromkeys(cols))
+
     def process_epoch(self, epoch: int, epoch_dir: str | None, sink_dir: str) -> dict:
         """Replay this shard's slice of one epoch; stage the output part file;
         snapshot state. The driver commits the manifest afterwards."""
-        sink = ExactlyOnceParquetSink(sink_dir)
-        pairs_l, pairs_r, pairs_case, pairs_key = [], [], [], []
-        max_ts_us = -(2**62)
+        from statefulstreamprocessor_ray.state.vectorized import (
+            carry_start,
+            sorted_replay_pairs,
+        )
 
+        sink = ExactlyOnceParquetSink(sink_dir)
+        new_tbl = None
         if epoch_dir is not None and os.path.isdir(epoch_dir):
-            cols = [self.key_col, self.ts_col, self.tie_col, "stream_side"] + [
-                c for c in self.payload_cols if c not in (self.tie_col,)
-            ]
-            table = pq.read_table(epoch_dir, columns=list(dict.fromkeys(cols)))
+            new_tbl = pq.read_table(epoch_dir, columns=self._columns())
+
+        if new_tbl is not None and new_tbl.num_rows:
+            n_new = new_tbl.num_rows
+            new_tbl = new_tbl.append_column(
+                "_carry", pa.array(np.zeros(n_new, np.int8), pa.int8())
+            )
+            if self.carry is not None and self.carry.num_rows:
+                ct = self.carry.append_column(
+                    "_carry", pa.array(np.ones(self.carry.num_rows, np.int8), pa.int8())
+                )
+                combined = pa.concat_tables([ct, new_tbl.select(ct.schema.names)])
+            else:
+                combined = new_tbl
             idx = pc.sort_indices(
-                table,
+                combined,
                 sort_keys=[
                     (self.key_col, "ascending"),
                     (self.ts_col, "ascending"),
@@ -183,87 +207,102 @@ class JoinShardActor:
                     (self.tie_col, "ascending"),
                 ],
             )
-            table = table.take(idx).combine_chunks()
-            keys = table[self.key_col].to_pylist()
-            ts = pc.cast(table[self.ts_col], pa.int64()).to_pylist()
-            if ts:
-                max_ts_us = max(ts)
-                if max_ts_us > self.frontier_us:
-                    self.frontier_us = max_ts_us
-            sides = table["stream_side"].to_pylist()
-            payload_arrays = [table[c].to_pylist() for c in self.payload_cols]
-            payload_arrays.append(ts)
+            combined = combined.take(idx).combine_chunks()
+            n = combined.num_rows
+            ts_np = pc.cast(
+                pc.cast(combined[self.ts_col], pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            side_np = combined["stream_side"].to_numpy(zero_copy_only=False)
+            is_carry = combined["_carry"].to_numpy(zero_copy_only=False)
 
-            states = self.states
-            delta_us = self.delta_us
-            n = len(keys)
-            i = 0
-            while i < n:
-                key = keys[i]
-                st = states.get(key)
-                if st is None:
-                    st = states[key] = OrderedJoinState(delta_time=delta_us)
-                ingest = st.ingest
-                j = i
-                while j < n and keys[j] == key:
-                    # ref IS the payload tuple: pairs carry their own data and
-                    # snapshots serialize live buffers with payloads attached.
-                    ref = tuple(a[j] for a in payload_arrays)
-                    ingest(sides[j], ts[j], ref)
-                    j += 1
-                l, r, c = st.drain()
-                pairs_l.extend(l)
-                pairs_r.extend(r)
-                pairs_case.extend(c)
-                pairs_key.extend([key] * len(l))
-                self.counters["ingested"] += j - i
-                i = j
+            codes = (
+                pc.dictionary_encode(combined[self.key_col])
+                .combine_chunks()
+                .indices.to_numpy(zero_copy_only=False)
+            )
+            b = np.flatnonzero(np.diff(codes) != 0) + 1
+            starts = np.concatenate(([0], b))
+            ends = np.concatenate((b, [n]))
 
-        self.counters["joined"] += len(pairs_l)
-        out = self._pairs_to_table(pairs_key, pairs_l, pairs_r, pairs_case)
+            parts_l, parts_r, parts_c, keep_idx = [], [], [], []
+            for i0, i1 in zip(starts.tolist(), ends.tolist()):
+                l, r, c, t = sorted_replay_pairs(
+                    ts_np[i0:i1], side_np[i0:i1], self.delta_us, return_trigger=True
+                )
+                keep = is_carry[t + i0] == 0  # only pairs triggered by new rows
+                parts_l.append(l[keep] + i0)
+                parts_r.append(r[keep] + i0)
+                parts_c.append(c[keep])
+                cs = carry_start(ts_np[i0:i1], side_np[i0:i1])
+                keep_idx.append(np.arange(i0 + cs, i1, dtype=np.int64))
+
+            all_l = np.concatenate(parts_l) if parts_l else np.empty(0, np.int64)
+            all_r = np.concatenate(parts_r) if parts_r else np.empty(0, np.int64)
+            all_c = np.concatenate(parts_c) if parts_c else np.empty(0, np.int8)
+            out = self._pairs_to_table(combined, all_l, all_r, all_c)
+
+            carry_rows = np.concatenate(keep_idx) if keep_idx else np.empty(0, np.int64)
+            self.carry = combined.drop_columns(["_carry"]).take(
+                pa.array(carry_rows, pa.int64())
+            )
+            self.counters["ingested"] += n_new
+            self.counters["joined"] += out.num_rows
+            mx = int(ts_np.max()) if n else -(2**62)
+            if mx > self.frontier_us:
+                self.frontier_us = mx
+        else:
+            out = self._empty_out()
+
         part = sink.stage_part(epoch, f"shard{self.shard_id:04d}", out)
         self.ckpt.save(
             self.shard_id,
             epoch,
             {
-                "states": {k: s.snapshot() for k, s in self.states.items()},
+                "carry": self.carry,
                 "counters": self.counters,
                 "frontier_us": self.frontier_us,
             },
         )
         part["shard"] = self.shard_id
         part["max_ts_us"] = self.frontier_us
-        part["n_keys"] = len(self.states)
+        part["n_carry_rows"] = self.carry.num_rows if self.carry is not None else 0
         return part
 
-    def _pairs_to_table(self, keys, lrefs, rrefs, cases) -> pa.Table:
-        np_cols = len(self.payload_cols)
-        cols: dict = {self.key_col: pa.array(keys, pa.string())}
-        cols["r_ts"] = pa.array(
-            [t[np_cols] for t in lrefs], pa.int64()
-        ).cast(pa.timestamp("us"))
-        for ci, c in enumerate(self.payload_cols):
-            cols[f"r_{c}"] = pa.array([t[ci] for t in lrefs], self._payload_type(c))
-        cols["s_ts"] = pa.array(
-            [t[np_cols] for t in rrefs], pa.int64()
-        ).cast(pa.timestamp("us"))
-        for ci, c in enumerate(self.payload_cols):
-            cols[f"s_{c}"] = pa.array([t[ci] for t in rrefs], self._payload_type(c))
-        cols["join_case"] = pa.array([case_name(c) for c in cases], pa.string())
-        if not keys:
-            # pin the schema for empty parts
-            cols = {
-                self.key_col: pa.array([], pa.string()),
-                "r_ts": pa.array([], pa.timestamp("us")),
-                **{f"r_{c}": pa.array([], self._payload_type(c)) for c in self.payload_cols},
-                "s_ts": pa.array([], pa.timestamp("us")),
-                **{f"s_{c}": pa.array([], self._payload_type(c)) for c in self.payload_cols},
-                "join_case": pa.array([], pa.string()),
-            }
+    def _pairs_to_table(self, combined: pa.Table, l, r, c) -> pa.Table:
+        lt = combined.take(pa.array(l, pa.int64()))
+        rt = combined.take(pa.array(r, pa.int64()))
+        cols: dict = {self.key_col: lt[self.key_col]}
+        cols["r_ts"] = pc.cast(lt[self.ts_col], pa.timestamp("us"))
+        for col in self.payload_cols:
+            cols[f"r_{col}"] = lt[col]
+        cols["s_ts"] = pc.cast(rt[self.ts_col], pa.timestamp("us"))
+        for col in self.payload_cols:
+            cols[f"s_{col}"] = rt[col]
+        case_names = np.array(["JR1", "JR2", "JS2"])
+        cols["join_case"] = pa.array(
+            case_names[np.asarray(c, np.int8)] if len(c) else [], pa.string()
+        )
         return pa.table(cols)
 
-    def _payload_type(self, col: str):
-        return pa.int32() if col == self.tie_col else pa.string()
+    def _empty_out(self) -> pa.Table:
+        src = self.carry
+        if src is not None:
+            return self._pairs_to_table(
+                src, np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int8)
+            )
+        # no schema seen yet: pin the transcript defaults
+        def ptype(col):
+            return pa.int32() if col == self.tie_col else pa.string()
+
+        cols = {
+            self.key_col: pa.array([], pa.string()),
+            "r_ts": pa.array([], pa.timestamp("us")),
+            **{f"r_{c}": pa.array([], ptype(c)) for c in self.payload_cols},
+            "s_ts": pa.array([], pa.timestamp("us")),
+            **{f"s_{c}": pa.array([], ptype(c)) for c in self.payload_cols},
+            "join_case": pa.array([], pa.string()),
+        }
+        return pa.table(cols)
 
 
 class StreamingJoinJob:
