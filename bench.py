@@ -94,8 +94,10 @@ def bench_streaming(tpath: str, tag: str) -> dict:
         input_path=tpath,
         work_dir=f"{base}/work",
         out_dir=f"{base}/out",
-        n_shards=NUM_CPUS,
-        epoch_duration_s=120.0,
+        # epoch span = commit cadence (the reference's TRANSACTION_TIME knob):
+        # ~8 epochs over this corpus balances txn granularity vs barrier cost
+        n_shards=min(NUM_CPUS, 16),
+        epoch_duration_s=480.0,
         delta_time=5.0,
     )
     t0 = time.time()
