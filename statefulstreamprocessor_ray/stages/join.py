@@ -167,18 +167,61 @@ def ordered_join_events(
     delta_time: float | None = None,
     n_shards: int | None = None,
     num_cpus: float = 1,
+    hot_key_threshold: int | None = None,
+    hot_chunk_rows: int = 250_000,
 ) -> ray.data.Dataset:
     """Join an already-tagged event stream (has ``stream_side``).
 
     Physical plan: one map_batches adds ``_shard = hash(key) % P`` (P defaults
-    to 4x cluster CPUs), then a single int-keyed shuffle co-locates each key's
+    to 2x cluster CPUs), then a single int-keyed shuffle co-locates each key's
     rows, and each shard replays all its keys in one vectorized call — the
     explicit partitioned-join pattern (cheaper than a per-key groupby when
-    keys number in the millions)."""
+    keys number in the millions).
+
+    Skew: with ``hot_key_threshold`` set, keys whose row count exceeds it are
+    routed through :func:`salted_hot_key_join` — time-chunked with exact
+    carry-suffix warm-up — so one hot conversation no longer serializes a
+    whole shard. Output (including per-key emit_seq) is byte-identical to the
+    unsalted plan (tested on FIXTURES.md F9)."""
     import pandas as pd
     import ray as _ray
 
     delta_us = int(delta_time * 1_000_000) if delta_time else None
+
+    if hot_key_threshold is not None:
+        counts = (
+            events.select_columns([key_col]).groupby(key_col).count().to_pandas()
+        )
+        hot = set(counts.loc[counts["count()"] > hot_key_threshold, key_col])
+        if hot:
+            def in_hot(b: pa.Table, keep: bool) -> pa.Table:
+                mask = pc.is_in(b[key_col], value_set=pa.array(sorted(hot)))
+                return b.filter(mask if keep else pc.invert(mask))
+
+            cold = events.map_batches(
+                lambda b: in_hot(b, False), batch_format="pyarrow", zero_copy_batch=True
+            )
+            hot_ds = events.map_batches(
+                lambda b: in_hot(b, True), batch_format="pyarrow", zero_copy_batch=True
+            )
+            cold_out = ordered_join_events(
+                cold, key_col, ts_col, tie_col, payload_cols, delta_time,
+                n_shards, num_cpus, hot_key_threshold=None,
+            )
+            hot_out = salted_hot_key_join(
+                hot_ds, key_col, ts_col, tie_col, payload_cols, delta_us,
+                chunk_rows=hot_chunk_rows,
+            )
+            out_cols = (
+                [key_col, "r_ts"]
+                + [f"r_{c}" for c in payload_cols]
+                + ["s_ts"]
+                + [f"s_{c}" for c in payload_cols]
+                + ["join_case", "emit_seq"]
+            )
+            return cold_out.select_columns(out_cols).union(
+                hot_out.select_columns(out_cols)
+            )
     if n_shards is None:
         # ~2 shards per core: enough slots to balance, few enough that the
         # sort shuffle's M x R object matrix stays small (block count is the
@@ -210,6 +253,113 @@ def ordered_join_events(
     return tagged.groupby("_shard").map_groups(
         fn, batch_format="pyarrow", num_cpus=num_cpus
     )
+
+
+def salted_hot_key_join(
+    hot_events: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    payload_cols: Sequence[str],
+    delta_us: int | None,
+    chunk_rows: int = 250_000,
+    side_col: str = "stream_side",
+) -> ray.data.Dataset:
+    """Exact parallel join of hot (skewed) keys by time-chunking.
+
+    SURVEY.md §4 skew design, made exact by the closed-form carry invariant
+    (state/vectorized.py): a chunk's replay only needs the carry suffix of its
+    prefix — everything from the last record of the side whose last record is
+    older. Plan:
+
+    1. per hot key: assign chunk ids every ``chunk_rows`` sorted rows and
+       *duplicate* each chunk's carry-suffix rows into it as warm-up
+       (vectorized; no replay here),
+    2. shuffle by (key, chunk): each chunk replays independently, keeping only
+       pairs triggered by non-warm-up rows,
+    3. per key: rank pairs by (chunk, local emission order) -> exact global
+       ``emit_seq``; this last pass touches only the pairs, not the events.
+    """
+    from statefulstreamprocessor_ray.state.vectorized import (
+        carry_start,
+        sorted_replay_pairs,
+    )
+
+    def plan_chunks(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (side_col, "ascending"), (tie_col, "ascending")],
+        )
+        group = group.take(idx).combine_chunks()
+        n = group.num_rows
+        ts = pc.cast(pc.cast(group[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        side = group[side_col].to_numpy(zero_copy_only=False)
+        cuts = list(range(0, n, chunk_rows)) + [n]
+        take_idx, chunk_ids, warm_flags = [], [], []
+        for k in range(len(cuts) - 1):
+            c0, c1 = cuts[k], cuts[k + 1]
+            if k > 0:
+                cs = carry_start(ts[:c0], side[:c0])
+                warm = np.arange(cs, c0, dtype=np.int64)
+                take_idx.append(warm)
+                chunk_ids.append(np.full(len(warm), k, np.int64))
+                warm_flags.append(np.ones(len(warm), np.int8))
+            real = np.arange(c0, c1, dtype=np.int64)
+            take_idx.append(real)
+            chunk_ids.append(np.full(len(real), k, np.int64))
+            warm_flags.append(np.zeros(len(real), np.int8))
+        ti = np.concatenate(take_idx)
+        out = group.take(pa.array(ti, pa.int64()))
+        out = out.append_column("_chunk", pa.array(np.concatenate(chunk_ids)))
+        out = out.append_column("_warm", pa.array(np.concatenate(warm_flags)))
+        return out
+
+    def replay_chunk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (side_col, "ascending"), (tie_col, "ascending")],
+        )
+        group = group.take(idx).combine_chunks()
+        ts = pc.cast(pc.cast(group[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        side = group[side_col].to_numpy(zero_copy_only=False)
+        warm = group["_warm"].to_numpy(zero_copy_only=False)
+        l, r, c, t = sorted_replay_pairs(ts, side, delta_us, return_trigger=True)
+        keep = warm[t] == 0
+        l, r, c = l[keep], r[keep], c[keep]
+        lt = group.take(pa.array(l, pa.int64()))
+        rt = group.take(pa.array(r, pa.int64()))
+        cols: dict = {key_col: lt[key_col], "r_ts": lt[ts_col]}
+        for pcol in payload_cols:
+            cols[f"r_{pcol}"] = lt[pcol]
+        cols["s_ts"] = rt[ts_col]
+        for pcol in payload_cols:
+            cols[f"s_{pcol}"] = rt[pcol]
+        cols["join_case"] = pa.array(
+            _CASE_DICT[c] if len(c) else [], pa.string()
+        )
+        cols["_chunk"] = lt["_chunk"]
+        cols["_local_seq"] = pa.array(np.arange(len(l), dtype=np.int64))
+        return pa.table(cols)
+
+    def assign_seq(pairs: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            pairs, sort_keys=[("_chunk", "ascending"), ("_local_seq", "ascending")]
+        )
+        pairs = pairs.take(idx)
+        pairs = pairs.drop_columns(["_chunk", "_local_seq"])
+        return pairs.append_column(
+            "emit_seq", pa.array(np.arange(pairs.num_rows, dtype=np.int64))
+        )
+
+    planned = hot_events.groupby(key_col).map_groups(plan_chunks, batch_format="pyarrow")
+    chunked = planned.groupby([key_col, "_chunk"]).map_groups(
+        replay_chunk, batch_format="pyarrow"
+    )
+    return chunked.groupby(key_col).map_groups(assign_seq, batch_format="pyarrow")
 
 
 def asof_join_tagged(
