@@ -65,6 +65,15 @@ class StreamingJoinConfig:
     allowed_lateness_s: float = 0.0
     spec: StreamSpec = field(default_factory=StreamSpec)
     payload_cols: tuple = ("turn_idx", "text", "tool")
+    # "ts": epochs are event-time slices (replay of an ordered log — no late
+    # data by construction). "arrival": epochs are input-file groups in
+    # arrival order; events older than the watermark (min shard frontier minus
+    # allowed_lateness_s) are dropped-and-counted, and events within lateness
+    # that still regress their own key's frontier violate the per-stream
+    # in-order precondition (reference README.md:219-230) and are
+    # dropped-and-counted separately.
+    epoch_by: str = "ts"
+    files_per_epoch: int = 1
 
 
 def partition_input(cfg: StreamingJoinConfig) -> str:
@@ -83,35 +92,62 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
     if os.path.exists(marker):
         with open(marker) as m:
             done = json.load(m)
-        if done["fingerprint"] == fingerprint and done["n_shards"] == cfg.n_shards:
+        if (
+            done["fingerprint"] == fingerprint
+            and done["n_shards"] == cfg.n_shards
+            and done.get("epoch_by", "ts") == cfg.epoch_by
+        ):
             return part_dir
 
     spec, n_shards = cfg.spec, cfg.n_shards
     span_us = int(cfg.epoch_duration_s * US)
 
-    def tag_and_partition(batch: pa.Table) -> pa.Table:
+    def tag_and_partition(batch: pa.Table, fixed_epoch: int | None = None) -> pa.Table:
         tagged = tag_streams_batch(batch, spec)
         keys = np.asarray(tagged[spec.key_col].to_pylist(), dtype=object)
         shard = (stable_key_hash(keys) % n_shards).astype(np.int32)
-        ts = pc.cast(pc.cast(tagged[spec.ts_col], pa.timestamp("us")), pa.int64())
-        epoch = pc.cast(
-            pc.floor(pc.divide(pc.cast(ts, pa.float64()), span_us)), pa.int64()
-        )
+        if fixed_epoch is None:
+            ts = pc.cast(pc.cast(tagged[spec.ts_col], pa.timestamp("us")), pa.int64())
+            epoch = pc.cast(
+                pc.floor(pc.divide(pc.cast(ts, pa.float64()), span_us)), pa.int64()
+            )
+        else:
+            epoch = pa.array(np.full(tagged.num_rows, fixed_epoch, np.int64))
         tagged = tagged.append_column("shard", pa.array(shard, pa.int32()))
         tagged = tagged.append_column("epoch", epoch)
         return tagged
 
-    ds = ray.data.read_parquet(files)
-    ds = ds.map_batches(tag_and_partition, batch_format="pyarrow", zero_copy_batch=True)
-    tmp_dir = os.path.join(cfg.work_dir, "_partition_tmp")
     import shutil
 
+    tmp_dir = os.path.join(cfg.work_dir, "_partition_tmp")
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    ds.write_parquet(tmp_dir, partition_cols=["shard", "epoch"])
+    if cfg.epoch_by == "arrival":
+        # one epoch per input-file group, in arrival order
+        for e in range(0, (len(files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch):
+            group = files[e * cfg.files_per_epoch : (e + 1) * cfg.files_per_epoch]
+            ds = ray.data.read_parquet(group).map_batches(
+                lambda b, fe=e: tag_and_partition(b, fe),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ds.write_parquet(tmp_dir, partition_cols=["shard", "epoch"])
+    else:
+        ds = ray.data.read_parquet(files)
+        ds = ds.map_batches(
+            tag_and_partition, batch_format="pyarrow", zero_copy_batch=True
+        )
+        ds.write_parquet(tmp_dir, partition_cols=["shard", "epoch"])
     shutil.rmtree(part_dir, ignore_errors=True)
     os.replace(tmp_dir, part_dir)
     with open(marker, "w") as m:
-        json.dump({"fingerprint": fingerprint, "n_shards": cfg.n_shards}, m)
+        json.dump(
+            {
+                "fingerprint": fingerprint,
+                "n_shards": cfg.n_shards,
+                "epoch_by": cfg.epoch_by,
+            },
+            m,
+        )
     return part_dir
 
 
@@ -173,15 +209,27 @@ class JoinShardActor:
         cols += [c for c in self.payload_cols if c not in cols]
         return list(dict.fromkeys(cols))
 
-    def process_epoch(self, epoch: int, epoch_dir: str | None, sink_dir: str) -> dict:
+    def process_epoch(
+        self,
+        epoch: int,
+        epoch_dir: str | None,
+        sink_dir: str,
+        watermark_us: int = -(2**62),
+    ) -> dict:
         """Replay this shard's slice of one epoch; stage the output part file;
-        snapshot state. The driver commits the manifest afterwards."""
+        snapshot state. The driver commits the manifest afterwards.
+
+        ``watermark_us`` (arrival-mode): new rows older than it are late and
+        dropped-and-counted; rows within lateness that regress their own key's
+        carry frontier break the per-stream in-order precondition and are
+        dropped-and-counted as order violations."""
         from statefulstreamprocessor_ray.state.vectorized import (
             carry_start,
             sorted_replay_pairs,
         )
 
         sink = ExactlyOnceParquetSink(sink_dir)
+        n_late = n_viol = 0
         new_tbl = None
         if epoch_dir is not None and os.path.isdir(epoch_dir):
             new_tbl = pq.read_table(epoch_dir, columns=self._columns())
@@ -223,6 +271,32 @@ class JoinShardActor:
             b = np.flatnonzero(np.diff(codes) != 0) + 1
             starts = np.concatenate(([0], b))
             ends = np.concatenate((b, [n]))
+
+            # late / out-of-order drops (no-ops in event-time epoch mode)
+            drop = (is_carry == 0) & (ts_np < watermark_us)
+            n_late = int(drop.sum())
+            for i0, i1 in zip(starts.tolist(), ends.tolist()):
+                ic = np.flatnonzero(is_carry[i0:i1] == 1)
+                if len(ic):
+                    seg = slice(i0, i0 + int(ic[-1]))
+                    viol = (is_carry[seg] == 0) & ~drop[seg]
+                    n_viol += int(viol.sum())
+                    drop[seg] |= is_carry[seg] == 0
+            if n_late or n_viol:
+                keep_mask = ~drop
+                combined = combined.filter(pa.array(keep_mask)).combine_chunks()
+                n = combined.num_rows
+                ts_np = ts_np[keep_mask]
+                side_np = side_np[keep_mask]
+                is_carry = is_carry[keep_mask]
+                codes = codes[keep_mask]
+                b = np.flatnonzero(np.diff(codes) != 0) + 1
+                starts = np.concatenate(([0], b)) if n else np.empty(0, np.int64)
+                ends = np.concatenate((b, [n])) if n else np.empty(0, np.int64)
+                self.counters["late_rows"] = self.counters.get("late_rows", 0) + n_late
+                self.counters["order_violations"] = (
+                    self.counters.get("order_violations", 0) + n_viol
+                )
 
             parts_l, parts_r, parts_c, keep_idx = [], [], [], []
             for i0, i1 in zip(starts.tolist(), ends.tolist()):
@@ -266,6 +340,8 @@ class JoinShardActor:
         part["shard"] = self.shard_id
         part["max_ts_us"] = self.frontier_us
         part["n_carry_rows"] = self.carry.num_rows if self.carry is not None else 0
+        part["late_rows"] = n_late
+        part["order_violations"] = n_viol
         return part
 
     def _pairs_to_table(self, combined: pa.Table, l, r, c) -> pa.Table:
@@ -342,10 +418,18 @@ class StreamingJoinJob:
             "epochs_skipped": len(committed),
             "epochs_processed": 0,
             "rows_emitted": 0,
+            "late_rows": 0,
+            "order_violations": 0,
             "watermark_us": None,
             "per_epoch": [],
         }
         span_us = int(cfg.epoch_duration_s * US)
+        # resume the watermark from the last committed manifest
+        watermark = -(2**62)
+        if last_committed >= 0:
+            watermark = self.sink.manifest(last_committed)["cursor"].get(
+                "watermark_us", -(2**62)
+            )
         processed = 0
         for epoch in epochs:
             if epoch <= last_committed:
@@ -358,12 +442,14 @@ class StreamingJoinJob:
                         epoch,
                         os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
                         cfg.out_dir,
+                        watermark,
                     )
                     for k, s in enumerate(shards)
                 ]
             )
-            watermark = min(p["max_ts_us"] for p in parts) - int(
-                cfg.allowed_lateness_s * US
+            watermark = max(
+                watermark,
+                min(p["max_ts_us"] for p in parts) - int(cfg.allowed_lateness_s * US),
             )
             self.sink.commit_epoch(
                 epoch,
@@ -376,11 +462,21 @@ class StreamingJoinJob:
                 },
             )
             rows = sum(p["rows"] for p in parts)
+            late = sum(p.get("late_rows", 0) for p in parts)
+            viol = sum(p.get("order_violations", 0) for p in parts)
             stats["rows_emitted"] += rows
+            stats["late_rows"] += late
+            stats["order_violations"] += viol
             stats["watermark_us"] = watermark
             stats["epochs_processed"] += 1
             stats["per_epoch"].append(
-                {"epoch": epoch, "rows": rows, "watermark_us": watermark}
+                {
+                    "epoch": epoch,
+                    "rows": rows,
+                    "watermark_us": watermark,
+                    "late_rows": late,
+                    "order_violations": viol,
+                }
             )
             processed += 1
 
