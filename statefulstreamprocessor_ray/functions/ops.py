@@ -145,6 +145,32 @@ def order_check(
     return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
 
 
+def power_join_projection(
+    batch: pa.Table, left_col: str = "r_value", right_col: str = "s_value"
+) -> pa.Table:
+    """P9: the reference's custom ``join_function`` blueprint
+    (``ts_join_with_kafka_eos.py:86-106``): power = |2π/60 · speed · torque|,
+    output ts = midpoint of the pair — as a vectorized batch UDF usable as
+    ``JoinSpec.join_fn``."""
+    lv = pc.cast(batch[left_col], pa.float64()).to_numpy(zero_copy_only=False)
+    rv = pc.cast(batch[right_col], pa.float64()).to_numpy(zero_copy_only=False)
+    lt = pc.cast(pc.cast(batch["r_ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    rt = pc.cast(pc.cast(batch["s_ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    res = np.abs((2 * np.pi / 60) * lv * rv)
+    key_col = batch.schema.names[0]
+    return pa.table(
+        {
+            key_col: batch[key_col],
+            "ts": pa.array((lt + rt) // 2, pa.int64()).cast(pa.timestamp("us")),
+            "result": pa.array(res, pa.float64()),
+        }
+    )
+
+
 def word_count(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     """P16: grouped word count (``05_Flink_Python/WordCount.py:45-49``),
     scale-shaped: per-batch partial counts (combiner) then a small groupby-sum

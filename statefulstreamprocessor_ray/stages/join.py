@@ -28,6 +28,37 @@ from statefulstreamprocessor_ray.state.vectorized import sorted_replay_pairs
 _CASE_DICT = np.array(["JR1", "JR2", "JS2"])
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class JoinSpec:
+    """Config-surface parity with the reference ``StreamBuffer`` constructor
+    (``local_stream_buffer.py:110-167``). ``instant_emit=False`` and
+    ``max_latency`` are declared-but-unimplemented in the reference (they
+    raise) — we reserve them identically. ``join_fn`` is the batch-UDF form of
+    the reference's ``join_function`` (a projection over joined batches);
+    ``buffer_results=False`` drops the output rows (side-effect-only runs)."""
+
+    instant_emit: bool = True
+    delta_time: float | None = None
+    max_latency: float | None = None
+    buffer_results: bool = True
+    join_fn: "Callable[[pa.Table], pa.Table] | None" = None
+
+    def __post_init__(self):
+        if not self.instant_emit:
+            raise NotImplementedError(
+                "trigger-based emission is reserved (reference parity: "
+                "local_stream_buffer.py:155-157 raises the same way)"
+            )
+        if self.max_latency:
+            raise NotImplementedError(
+                "max_latency is reserved (reference parity: "
+                "local_stream_buffer.py:164-166 raises the same way)"
+            )
+
+
 def replay_join_table(
     group: pa.Table,
     key_col: str = "conv_id",
@@ -418,15 +449,32 @@ def ordered_join(
     spec: StreamSpec | None = None,
     delta_time: float | None = None,
     payload_cols: Sequence[str] = ("turn_idx", "text", "tool"),
+    join_spec: JoinSpec | None = None,
+    hot_key_threshold: int | None = None,
 ) -> ray.data.Dataset:
-    """Derive left/right streams from a transcript Dataset and join them."""
+    """Derive left/right streams from a transcript Dataset and join them.
+
+    ``join_spec`` carries the reference's extension surface: ``delta_time``
+    (overridden by the explicit arg when both set), a ``join_fn`` batch
+    projection applied to the joined rows, and ``buffer_results``."""
     spec = spec or StreamSpec()
+    js = join_spec or JoinSpec()
+    if delta_time is None:
+        delta_time = js.delta_time
     events = derive_streams(transcripts, spec)
-    return ordered_join_events(
+    out = ordered_join_events(
         events,
         key_col=spec.key_col,
         ts_col=spec.ts_col,
         tie_col=spec.tie_col,
         payload_cols=payload_cols,
         delta_time=delta_time,
+        hot_key_threshold=hot_key_threshold,
     )
+    if js.join_fn is not None:
+        out = out.map_batches(js.join_fn, batch_format="pyarrow", zero_copy_batch=True)
+    if not js.buffer_results:
+        out = out.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True
+        )
+    return out

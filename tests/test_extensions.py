@@ -1,0 +1,95 @@
+"""User-extension surface (SURVEY.md §2.7): JoinSpec config parity, join_fn
+batch projection, buffer_results, replayer, sinks, metrics."""
+
+import numpy as np
+import pytest
+
+from statefulstreamprocessor_ray import fixtures
+from statefulstreamprocessor_ray.functions.ops import power_join_projection
+from statefulstreamprocessor_ray.stages.join import JoinSpec, ordered_join
+
+
+def test_joinspec_reserved_knobs_raise_like_reference():
+    with pytest.raises(NotImplementedError):
+        JoinSpec(instant_emit=False)
+    with pytest.raises(NotImplementedError):
+        JoinSpec(max_latency=1.0)
+    JoinSpec(delta_time=1.0)  # fine
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_fn_projection_and_buffer_results(tmp_path):
+    import ray.data
+
+    tbl = fixtures.scenario_transcripts("F2", n_convs=3)
+    ds = ray.data.from_arrow(tbl)
+
+    def tag_len(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return batch.append_column("pair_len", pc.add(
+            pc.utf8_length(batch["r_text"]), pc.utf8_length(batch["s_text"])
+        ))
+
+    out = ordered_join(ds, join_spec=JoinSpec(join_fn=tag_len)).to_pandas()
+    assert len(out) == 3 * 23 and "pair_len" in out.columns
+
+    empty = ordered_join(ds, join_spec=JoinSpec(buffer_results=False)).to_pandas()
+    assert len(empty) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_power_projection():
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "r_ts": pa.array([1_000_000, 2_000_000], pa.int64()).cast(pa.timestamp("us")),
+            "r_value": pa.array([30.0, 60.0]),
+            "s_ts": pa.array([1_500_000, 2_500_000], pa.int64()).cast(pa.timestamp("us")),
+            "s_value": pa.array([400.0, -500.0]),
+        }
+    )
+    out = power_join_projection(batch)
+    assert out["result"].to_pylist() == pytest.approx(
+        [abs(2 * np.pi / 60 * 30 * 400), abs(2 * np.pi / 60 * 60 * -500)]
+    )
+    assert out["ts"].to_pylist()[0].timestamp() == 1.25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replayer_and_sinks_and_metrics(tmp_path):
+    import ray
+    import ray.data
+
+    from statefulstreamprocessor_ray.sinks.simple import write_csv, write_partitioned_parquet
+    from statefulstreamprocessor_ray.sources.replay import replay_batches
+    from statefulstreamprocessor_ray.stages.metrics import MetricsActor, metered
+
+    tbl = fixtures.scenario_transcripts("F2", n_convs=4)
+    ds = ray.data.from_arrow(tbl)
+
+    # replayer: bounded + loop
+    batches = list(replay_batches(ds, batch_size=16, max_rows=50))
+    assert sum(b.num_rows for b in batches) == 50
+    looped = list(replay_batches(ds, batch_size=64, loop=True, max_rows=150))
+    assert sum(b.num_rows for b in looped) == 150
+
+    # metered pass-through
+    m = MetricsActor.remote()
+    n = metered(ds, m, "ingest").count()
+    assert n == tbl.num_rows
+    rep = ray.get(m.report.remote())
+    assert rep["ingest"]["rows"] == tbl.num_rows
+
+    # sinks
+    cnt = write_partitioned_parquet(
+        ds, str(tmp_path / "pq"), partition_cols=["role"], verify_count=True
+    )
+    assert cnt == tbl.num_rows
+    write_csv(ds.drop_columns(["tool"]), str(tmp_path / "csv"))
+    import glob
+
+    assert glob.glob(str(tmp_path / "csv" / "*"))
