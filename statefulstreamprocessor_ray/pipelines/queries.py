@@ -22,6 +22,7 @@ from statefulstreamprocessor_ray.stages.join import (
     asof_join_tagged,
     ordered_join,
     ordered_join_events,
+    session_bounded_join,
 )
 from statefulstreamprocessor_ray.stages.text import analyze_text, langid_sql
 from statefulstreamprocessor_ray.stages.windows import (
@@ -258,6 +259,25 @@ def q_flagship_transcripts(sf_dir):
     return flagship_join(transcripts_from_events(sf_dir), delta_time=3600.0)
 
 
+def q_session_join(sf_dir):
+    tagged = _tag_events(sf_dir)
+    return session_bounded_join(
+        tagged,
+        gap_s=2 * 3600.0,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        payload_cols=("event_id", "value"),
+    )
+
+
+def q_dedup_apply(sf_dir):
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, k=3)
+    clusters = dedup.cluster_duplicates(pairs)
+    return dedup.apply_dedup(docs, clusters).select_columns(["doc_id", "text"])
+
+
 def q_minhash_lsh(sf_dir):
     return dedup.minhash_lsh_pairs(
         _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.5
@@ -296,6 +316,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "lsb_join_events": q_lsb_join_events,
     "flagship_transcripts": q_flagship_transcripts,
+    "session_join": q_session_join,
+    "dedup_apply": q_dedup_apply,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
@@ -431,6 +453,37 @@ SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+""",
+    "dedup_apply": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+      END) AS g
+    FROM t WHERE len(ws) > 0
+  )
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+dup AS (
+  SELECT doc_a, doc_b FROM p JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION SELECT doc_b, doc_a FROM dup),
+labels(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, l.lab FROM edges e JOIN labels l ON l.doc = e.v
+),
+rep AS (SELECT doc, min(lab) AS rep FROM labels GROUP BY doc)
+SELECT d.doc_id, d.text FROM documents d JOIN rep ON rep.doc = d.doc_id
+WHERE rep.rep = d.doc_id
 """,
     "text_stats": langid_sql("documents"),
     "multimodal_decode": """

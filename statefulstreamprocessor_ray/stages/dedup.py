@@ -116,9 +116,10 @@ def ngram_jaccard_pairs(
     (appearing in >max_df docs) would explode pairwise; callers at scale
     should drop them — here df is bounded by the corpus.
     """
+    # plain-function stage (tasks): ShingleStage's init is trivial, so an
+    # actor pool only adds startup latency
     sh = ds.map_batches(
-        ShingleStage, fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pandas", concurrency=2,
+        ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
     )
     # |A|: per-doc distinct-shingle counts — one small aggregate to the driver.
     sizes = (
@@ -217,13 +218,8 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded MinHash LSH, verified with exact
     Jaccard (so false positives are filtered; recall is probabilistic)."""
     buckets = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "n_perm": n_perm, "bands": bands, "k": k,
-            "text_col": text_col, "id_col": id_col,
-        },
+        MinHashStage(n_perm=n_perm, bands=bands, k=k, text_col=text_col, id_col=id_col),
         batch_format="pandas",
-        concurrency=2,
     )
     add_bucket, pairs_in_bucket = _bucket_pairs(["band_id", "band_hash"])
     cand_df = (
@@ -308,10 +304,7 @@ def simhash_pairs(
     (pigeonhole), so candidate generation is complete for max_hamming <= 3.
     """
     sims = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pandas",
-        concurrency=2,
+        SimHashStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
     ).to_pandas()
     ids = sims["doc_id"].to_numpy()
     hashes = sims["simhash"].to_numpy(dtype=np.uint64)
@@ -338,6 +331,50 @@ def simhash_pairs(
             "hamming": pa.array([r[2] for r in rows], pa.int32()),
         }
     )
+
+
+def cluster_duplicates(pairs: pa.Table, a_col: str = "doc_a", b_col: str = "doc_b") -> dict:
+    """Union-find over the (small) verified duplicate-pair set: doc_id ->
+    cluster representative (min id). The pair set is the output of the
+    LSH/Jaccard stages — orders of magnitude smaller than the corpus, so
+    driver-side union-find is the sanctioned pattern; the corpus-side apply
+    stays distributed (see :func:`apply_dedup`)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    seen: set[int] = set()
+    for a, b in zip(pairs[a_col].to_pylist(), pairs[b_col].to_pylist()):
+        a, b = int(a), int(b)
+        seen.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
+def apply_dedup(
+    ds: ray.data.Dataset, clusters: dict, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Drop non-representative duplicates: broadcast the (small) cluster map
+    once via ray.put, filter inside map_batches — no shuffle."""
+    import ray as _ray
+
+    drop = {k for k, rep in clusters.items() if rep != k}
+    ref = _ray.put(np.array(sorted(drop), dtype=np.int64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bad = _ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, bad)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -393,6 +393,54 @@ def salted_hot_key_join(
     return chunked.groupby(key_col).map_groups(assign_seq, batch_format="pyarrow")
 
 
+def session_bounded_join(
+    tagged: ray.data.Dataset,
+    gap_s: float,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    payload_cols: Sequence[str] = ("turn_idx", "text", "tool"),
+    delta_time: float | None = None,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered join scoped to session windows: pairs only form inside one
+    per-key session (gap rule), the "assistant-turn ⋈ tool-call within a
+    session window" shape. Implemented as session-id assignment fused into the
+    shard replay (the session boundary splits the key into independent
+    sub-keys, so the single shuffle is preserved)."""
+    from statefulstreamprocessor_ray.stages.windows import assign_session_ids
+
+    with_sessions = assign_session_ids(tagged, gap_s=gap_s, key_col=key_col, ts_col=ts_col)
+
+    def composite(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b[key_col], pa.string()),
+            pc.cast(b["session_id"], pa.string()),
+            "#s",
+        )
+        return b.append_column("_skey", key)
+
+    keyed = with_sessions.map_batches(composite, batch_format="pyarrow", zero_copy_batch=True)
+    out = ordered_join_events(
+        keyed,
+        key_col="_skey",
+        ts_col=ts_col,
+        tie_col=tie_col,
+        payload_cols=tuple(payload_cols) + (key_col, "session_id"),
+        delta_time=delta_time,
+        n_shards=n_shards,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.append_column(key_col, b[f"r_{key_col}"])
+        b = b.append_column("session_id", b["r_session_id"])
+        return b.drop_columns(
+            ["_skey", f"r_{key_col}", f"s_{key_col}", "r_session_id", "s_session_id"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def asof_join_tagged(
     tagged: ray.data.Dataset,
     key_col: str = "conv_id",
