@@ -74,6 +74,12 @@ class StreamingJoinConfig:
     # dropped-and-counted separately.
     epoch_by: str = "ts"
     files_per_epoch: int = 1
+    # Bounded-state guard for pathological one-sided streams (the reference's
+    # acknowledged unbounded-buffer TODO, README.md:270-274): when set, a
+    # shard's carry table is truncated to its newest N rows, counting
+    # evictions (lossy for pairs that would have reached across the evicted
+    # history — which a set delta_time would drop anyway). Off by default.
+    max_carry_rows_per_shard: int | None = None
 
 
 def partition_input(cfg: StreamingJoinConfig) -> str:
@@ -181,6 +187,7 @@ class JoinShardActor:
         self.tie_col = cfg_dict["tie_col"]
         self.payload_cols = list(cfg_dict["payload_cols"])
         self.delta_us = cfg_dict["delta_us"]
+        self.max_carry_rows = cfg_dict.get("max_carry_rows")
         self.carry: pa.Table | None = None
         self.ckpt = CheckpointStore(ckpt_dir)
         self.counters = {"ingested": 0, "joined": 0}
@@ -319,6 +326,18 @@ class JoinShardActor:
             self.carry = combined.drop_columns(["_carry"]).take(
                 pa.array(carry_rows, pa.int64())
             )
+            cap = self.max_carry_rows
+            if cap is not None and self.carry.num_rows > cap:
+                # bounded-state eviction: drop the oldest carry rows
+                order = pc.sort_indices(
+                    self.carry, sort_keys=[(self.ts_col, "descending")]
+                )
+                evicted = self.carry.num_rows - cap
+                newest = np.sort(order.to_numpy(zero_copy_only=False)[:cap])
+                self.carry = self.carry.take(pa.array(newest, pa.int64()))
+                self.counters["carry_evictions"] = (
+                    self.counters.get("carry_evictions", 0) + evicted
+                )
             self.counters["ingested"] += n_new
             self.counters["joined"] += out.num_rows
             mx = int(ts_np.max()) if n else -(2**62)
@@ -406,12 +425,20 @@ class StreamingJoinJob:
             "tie_col": cfg.spec.tie_col,
             "payload_cols": cfg.payload_cols,
             "delta_us": int(cfg.delta_time * US) if cfg.delta_time else None,
+            "max_carry_rows": cfg.max_carry_rows_per_shard,
         }
         shards = [
             JoinShardActor.remote(k, cfg_dict, self.ckpt_dir)
             for k in range(cfg.n_shards)
         ]
-        ray.get([s.restore.remote(last_committed) for s in shards])
+        restored = ray.get([s.restore.remote(last_committed) for s in shards])
+        if last_committed >= 0 and any(r != last_committed for r in restored):
+            raise RuntimeError(
+                "resume aborted: committed manifests exist up to epoch "
+                f"{last_committed} but shard checkpoints restored {restored}; "
+                "state and output would diverge. Clear the output dir (or "
+                "restore the checkpoint dir) and re-run from scratch."
+            )
 
         stats = {
             "epochs_total": len(epochs),
