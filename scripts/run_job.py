@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""CLI entry point: run the flagship batch join or the exactly-once streaming
+job over a transcript Parquet directory.
+
+Examples:
+  python scripts/run_job.py batch --input /tmp/transcripts --out /tmp/joined
+  python scripts/run_job.py streaming --input /tmp/transcripts \\
+      --work /tmp/work --out /tmp/out --shards 16 --epoch-s 480 --delta 5.0
+  python scripts/run_job.py streaming ... (again)   # resumes; 0 new rows when done
+
+Owns its Ray session (guarded init) — the library itself never calls ray.init.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("batch")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--delta", type=float, default=None)
+    b.add_argument("--hot-key-threshold", type=int, default=None)
+
+    s = sub.add_parser("streaming")
+    s.add_argument("--input", required=True)
+    s.add_argument("--work", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--epoch-s", type=float, default=300.0)
+    s.add_argument("--delta", type=float, default=None)
+    s.add_argument("--lateness-s", type=float, default=0.0)
+    s.add_argument("--epoch-by", choices=["ts", "arrival"], default="ts")
+    s.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s):
+        p.add_argument("--num-cpus", type=int, default=8)
+
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    if args.mode == "batch":
+        import ray.data
+
+        from statefulstreamprocessor_ray.pipelines.flagship import flagship_join
+
+        out = flagship_join(
+            ray.data.read_parquet(args.input),
+            delta_time=args.delta,
+        )
+        out.write_parquet(args.out)
+        print(json.dumps({"mode": "batch", "rows": ray.data.read_parquet(args.out).count()}))
+    else:
+        from statefulstreamprocessor_ray.pipelines.streaming import (
+            StreamingJoinConfig,
+            StreamingJoinJob,
+        )
+
+        cfg = StreamingJoinConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            epoch_duration_s=args.epoch_s,
+            delta_time=args.delta,
+            allowed_lateness_s=args.lateness_s,
+            epoch_by=args.epoch_by,
+        )
+        stats = StreamingJoinJob(cfg).run(max_epochs=args.max_epochs)
+        stats.pop("per_epoch", None)
+        print(json.dumps({"mode": "streaming", **stats}))
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

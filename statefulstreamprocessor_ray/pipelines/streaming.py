@@ -501,6 +501,9 @@ class StreamingJoinJob:
                     "epoch": epoch,
                     "rows": rows,
                     "watermark_us": watermark,
+                    # watermark lag: fastest shard frontier minus the gated
+                    # global watermark (straggler-partition skew indicator)
+                    "watermark_lag_us": max(p["max_ts_us"] for p in parts) - watermark,
                     "late_rows": late,
                     "order_violations": viol,
                 }

@@ -91,6 +91,59 @@ def analyze_text(
     )
 
 
+class WinnowingFingerprints:
+    """Document fingerprinting by rolling hash + winnowing (MOSS-style).
+
+    Per document: Rabin-Karp rolling hashes of all ``k``-char windows, then the
+    minimum hash of every ``w``-window (rightmost on ties), deduplicated — a
+    compact position-robust fingerprint set for containment/overlap detection.
+    Pure-numpy per batch; stateless task stage.
+    """
+
+    BASE = np.uint64(1_000_003)
+    MOD = np.uint64((1 << 61) - 1)
+
+    def __init__(self, k: int = 8, w: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+        self.k, self.w, self.text_col, self.id_col = k, w, text_col, id_col
+
+    def fingerprints(self, text: str) -> np.ndarray:
+        data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+        n = len(data)
+        if n < self.k:
+            return np.zeros(0, dtype=np.uint64)
+        # rolling polynomial hash over all k-windows (vectorized via cumulative
+        # powers; values kept in uint64 with natural wraparound — deterministic)
+        pows = np.ones(self.k, dtype=np.uint64)
+        for i in range(1, self.k):
+            pows[i] = pows[i - 1] * self.BASE
+        windows = np.lib.stride_tricks.sliding_window_view(data, self.k).astype(np.uint64)
+        hashes = (windows * pows[::-1]).sum(axis=1)
+        if len(hashes) < self.w:
+            return np.unique(hashes[[np.argmin(hashes)]])
+        wins = np.lib.stride_tricks.sliding_window_view(hashes, self.w)
+        mins = wins.min(axis=1)
+        return np.unique(mins)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
+            for fp in self.fingerprints(text):
+                ids.append(doc_id)
+                fps.append(fp)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "fp": np.array(fps, dtype=np.uint64),
+            }
+        )
+
+
+def winnowing_fingerprints(
+    ds: ray.data.Dataset, k: int = 8, w: int = 4
+) -> ray.data.Dataset:
+    return ds.map_batches(WinnowingFingerprints(k=k, w=w), batch_format="pandas")
+
+
 def langid_sql(table: str = "documents") -> str:
     """Generate the DuckDB oracle for TextAnalyzer's langid + stats, from the
     same stopword lists (single source of truth)."""

@@ -93,3 +93,26 @@ def test_replayer_and_sinks_and_metrics(tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "csv" / "*"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnowing_fingerprints():
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.text import (
+        WinnowingFingerprints,
+        winnowing_fingerprints,
+    )
+
+    w = WinnowingFingerprints()
+    a = w.fingerprints("the quick brown fox jumps over the lazy dog")
+    b = w.fingerprints("PREFIX the quick brown fox jumps over the lazy dog SUFFIX")
+    shared = np.intersect1d(a, b)
+    assert len(shared) >= 0.8 * len(a)  # position-robust containment
+    assert len(w.fingerprints("")) == 0
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    fp = winnowing_fingerprints(ds).to_pandas()
+    assert fp.doc_id.nunique() == 500 and len(fp) > 10_000
