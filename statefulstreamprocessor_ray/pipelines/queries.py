@@ -183,6 +183,37 @@ def q_windowed_join(sf_dir):
     return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_windowed_join_sliding(sf_dir):
+    """J5 in its native sliding form (reference SlidingEventTimeWindows:
+    size 2h, slide 30min -> each event in 4 windows)."""
+    tagged = _tag_events(sf_dir)
+    out = windowed_interpolation_join(
+        tagged,
+        size_s=7200.0,
+        slide_s=1800.0,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        left_value_col="value",
+        right_value_col="value",
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "window_start_us": pc.cast(
+                    pc.cast(b["window_start"], pa.timestamp("us")), pa.int64()
+                ),
+                "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "result": b["result"],
+                "level": pc.cast(b["level"], pa.int32()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_asof_join(sf_dir):
     tagged = _tag_events(sf_dir)
     out = asof_join_tagged(
@@ -259,6 +290,30 @@ def q_flagship_transcripts(sf_dir):
     return flagship_join(transcripts_from_events(sf_dir), delta_time=3600.0)
 
 
+def q_lsb_join_sql(sf_dir):
+    """The flagship ordered-join semantics, SQL-checked: on a tie-free stream
+    the closed form (state/vectorized.py) is expressible with window functions
+    (JS2 fires only on timestamp ties, so it contributes nothing here)."""
+    out = q_lsb_join_events(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "r_ts_us": pc.cast(pc.cast(b["r_ts"], pa.timestamp("us")), pa.int64()),
+                "r_event_id": pc.cast(b["r_event_id"], pa.int64()),
+                "r_value": b["r_value"],
+                "s_ts_us": pc.cast(pc.cast(b["s_ts"], pa.timestamp("us")), pa.int64()),
+                "s_event_id": pc.cast(b["s_event_id"], pa.int64()),
+                "s_value": b["s_value"],
+                "join_case": b["join_case"],
+                "emit_seq": b["emit_seq"],
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_session_join(sf_dir):
     tagged = _tag_events(sf_dir)
     return session_bounded_join(
@@ -307,6 +362,7 @@ QUERIES = {
     "sliding_agg": q_sliding_agg,
     "session_windows": q_session_windows,
     "windowed_join": q_windowed_join,
+    "windowed_join_sliding": q_windowed_join_sliding,
     "asof_join": q_asof_join,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -315,6 +371,7 @@ QUERIES = {
     "embedding_dup": q_embedding_dup,
     "ann_topk": q_ann_topk,
     "lsb_join_events": q_lsb_join_events,
+    "lsb_join_sql": q_lsb_join_sql,
     "flagship_transcripts": q_flagship_transcripts,
     "session_join": q_session_join,
     "dedup_apply": q_dedup_apply,
@@ -411,6 +468,31 @@ SELECT user_id, window_start_us, LEAST(next_l_ts, next_r_ts) AS ts_us,
        CAST(FLOOR(LEAST(ABS(2*PI()/60 * next_l * next_r), 20000.0)/20000.1*5) AS INT) AS level
 FROM o WHERE next_l IS NOT NULL AND next_r IS NOT NULL
 """,
+    "windowed_join_sliding": """
+WITH w AS (
+  SELECT e.user_id, e.event_id, e.value, e.event_type, epoch_us(e.ts) AS tu,
+         (epoch_us(e.ts)//1800000000 - t.i)*1800000000 AS window_start_us
+  FROM events e CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(i)
+  WHERE e.event_type IN ('purchase','click')
+), o AS (
+  SELECT user_id, window_start_us, tu,
+    first_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+      OVER w2 AS next_l,
+    first_value(CASE WHEN event_type='purchase' THEN tu END IGNORE NULLS)
+      OVER w2 AS next_l_ts,
+    first_value(CASE WHEN event_type='click' THEN value END IGNORE NULLS)
+      OVER w2 AS next_r,
+    first_value(CASE WHEN event_type='click' THEN tu END IGNORE NULLS)
+      OVER w2 AS next_r_ts
+  FROM w
+  WINDOW w2 AS (PARTITION BY user_id, window_start_us ORDER BY tu, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, window_start_us, LEAST(next_l_ts, next_r_ts) AS ts_us,
+       LEAST(ABS(2*PI()/60 * next_l * next_r), 20000.0) AS result,
+       CAST(FLOOR(LEAST(ABS(2*PI()/60 * next_l * next_r), 20000.0)/20000.1*5) AS INT) AS level
+FROM o WHERE next_l IS NOT NULL AND next_r IS NOT NULL
+""",
     "asof_join": """
 WITH u AS (
   SELECT user_id, epoch_us(ts) AS tu, event_id, value, event_type
@@ -453,6 +535,50 @@ SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+""",
+    "lsb_join_sql": """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, value,
+         CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('purchase','click')
+), x AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id, side ORDER BY tu, event_id) AS tp FROM u
+), cand AS (
+  SELECT x.user_id,
+         x.tu AS x_tu, x.event_id AS x_id, x.value AS x_val, x.side AS x_side, x.tp,
+         y.tu AS y_tu, y.event_id AS y_id, y.value AS y_val,
+         row_number() OVER (PARTITION BY x.user_id, x.event_id
+                            ORDER BY y.tu, y.event_id) AS rnk
+  FROM x JOIN u y
+    ON y.user_id = x.user_id AND y.side = 1 - x.side
+   AND y.tu < x.tu
+   AND (x.tp IS NULL OR y.tu > x.tp)
+), jr2 AS (
+  SELECT user_id, x_tu AS trig_tu, x_id AS trig_id, 1 AS case_rank, rnk, 'JR2' AS join_case,
+         x_side, x_tu AS piv_tu, x_id AS piv_id, x_val AS piv_val, y_tu, y_id, y_val
+  FROM cand WHERE ABS(x_tu - y_tu) <= 3600000000
+), jr1 AS (
+  SELECT c.user_id, c.x_tu AS trig_tu, c.x_id AS trig_id, 0 AS case_rank, c.rnk,
+         'JR1' AS join_case, c.x_side,
+         p.tu AS piv_tu, p.event_id AS piv_id, p.value AS piv_val,
+         c.y_tu, c.y_id, c.y_val
+  FROM cand c JOIN u p
+    ON p.user_id = c.user_id AND p.side = c.x_side AND p.tu = c.tp
+  WHERE c.rnk > 1 AND ABS(p.tu - c.y_tu) <= 3600000000
+), pairs AS (
+  SELECT * FROM jr2 UNION ALL SELECT * FROM jr1
+)
+SELECT user_id,
+       CASE WHEN x_side=0 THEN piv_tu ELSE y_tu END AS r_ts_us,
+       CAST(CASE WHEN x_side=0 THEN piv_id ELSE y_id END AS BIGINT) AS r_event_id,
+       CASE WHEN x_side=0 THEN piv_val ELSE y_val END AS r_value,
+       CASE WHEN x_side=0 THEN y_tu ELSE piv_tu END AS s_ts_us,
+       CAST(CASE WHEN x_side=0 THEN y_id ELSE piv_id END AS BIGINT) AS s_event_id,
+       CASE WHEN x_side=0 THEN y_val ELSE piv_val END AS s_value,
+       join_case,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY trig_tu, trig_id, case_rank, rnk) - 1 AS BIGINT) AS emit_seq
+FROM pairs
 """,
     "dedup_apply": """
 WITH RECURSIVE t AS (
