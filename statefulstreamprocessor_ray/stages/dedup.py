@@ -120,10 +120,19 @@ def ngram_jaccard_pairs(
     # actor pool only adds startup latency
     sh = ds.map_batches(
         ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
-    )
-    # |A|: per-doc distinct-shingle counts — one small aggregate to the driver.
+    ).materialize()  # consumed twice (sizes + intersections); avoid recompute
+    # |A|: per-doc distinct-shingle counts — per-batch partials merged on the
+    # driver (docs are contiguous within batches, so partials are tiny; saves
+    # a whole shuffle job vs groupby().count()).
+    def _sizes_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("doc_id").size()
+        return pd.DataFrame({"doc_id": vc.index.to_numpy(), "n": vc.to_numpy()})
+
     sizes = (
-        sh.groupby("doc_id").count().to_pandas().set_index("doc_id")["count()"]
+        sh.map_batches(_sizes_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("doc_id")["n"]
+        .sum()
     )
     # |A ∩ B|: per-shingle pair explosion stays in the cluster; the driver only
     # sees the (pair, intersection) aggregate.

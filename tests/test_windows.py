@@ -185,3 +185,20 @@ def test_watermark_tracker_and_late_split():
     assert on_time.num_rows == 2
     ray.get(wt.add_late.remote(n_late))
     assert ray.get(wt.stats.remote())["late_rows"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliding_assignment_non_divisible():
+    import ray.data
+
+    # size 1.0s, slide 0.4s: ceil(size/slide)=3 copies max, but only windows
+    # actually containing the event may be emitted
+    tbl = _events_table([("k", 0, 10.0, 1.0)])
+    out = assign_sliding(ray.data.from_arrow(tbl), 1.0, 0.4).to_pandas()
+    for _, r in out.iterrows():
+        t = r["ts"].timestamp()
+        assert r["window_start"].timestamp() <= t < r["window_end"].timestamp()
+    # expected windows: starts s with s <= 10.0 < s+1.0, s multiple of 0.4
+    starts = sorted(round(r["window_start"].timestamp(), 3) for _, r in out.iterrows())
+    expect = [round(n * 0.4, 3) for n in range(23, 26) if n * 0.4 <= 10.0 < n * 0.4 + 1.0]
+    assert starts == expect
