@@ -138,7 +138,13 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
             )
             ds.write_parquet(tmp_dir, partition_cols=["shard", "epoch"])
     else:
-        ds = ray.data.read_parquet(files)
+        try:
+            n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            n_blocks = 64
+        # bounded block count: each block's writer opens one file per touched
+        # (shard, epoch) hive dir, so blocks x partitions drives write cost
+        ds = ray.data.read_parquet(files, override_num_blocks=n_blocks)
         ds = ds.map_batches(
             tag_and_partition, batch_format="pyarrow", zero_copy_batch=True
         )
