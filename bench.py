@@ -72,12 +72,18 @@ def bench_flagship(tpath: str) -> dict:
     flagship_join(_read_transcripts(tpath).limit(100_000), delta_time=5.0).count()
     _read_transcripts(tpath).count()
     # best of 2 timed runs (scheduler warm-up noise on the first)
+    n_turns = _read_transcripts(tpath).count()
     dt, n = 1e18, 0
     for _ in range(2):
         t0 = time.time()
         n = flagship_join(_read_transcripts(tpath), delta_time=5.0).count()
         dt = min(dt, time.time() - t0)
-    return {"sec": dt, "rows": n, "joins_per_sec": n / dt}
+    return {
+        "sec": dt,
+        "rows": n,
+        "joins_per_sec": n / dt,
+        "turns_per_sec": n_turns / dt,  # end-to-end input-turn throughput
+    }
 
 
 def bench_streaming(tpath: str, tag: str) -> dict:
@@ -104,11 +110,13 @@ def bench_streaming(tpath: str, tag: str) -> dict:
     stats = StreamingJoinJob(cfg).run()
     dt = time.time() - t0
     shutil.rmtree(base, ignore_errors=True)
+    lags = [e.get("watermark_lag_us", 0) for e in stats.get("per_epoch", [])]
     return {
         "sec": dt,
         "rows": stats["rows_emitted"],
         "epochs": stats["epochs_processed"],
         "joins_per_sec": stats["rows_emitted"] / dt,
+        "max_watermark_lag_us": max(lags) if lags else 0,
     }
 
 

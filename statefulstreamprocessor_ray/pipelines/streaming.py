@@ -43,7 +43,7 @@ import ray
 from statefulstreamprocessor_ray.functions.streams import StreamSpec, tag_streams_batch
 from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
 from statefulstreamprocessor_ray.state.checkpoint import CheckpointStore
-from statefulstreamprocessor_ray.state.stream_buffer import OrderedJoinState, case_name
+from statefulstreamprocessor_ray.state.stream_buffer import OrderedJoinState
 
 US = 1_000_000
 

@@ -14,7 +14,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data
 
 # Stopword lists shared by the engine and the SQL oracle generator. Scores are

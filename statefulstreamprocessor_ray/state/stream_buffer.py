@@ -153,7 +153,6 @@ class OrderedJoinState:
         e_ref = self._ref[e_side]
         p_head = self._head[side]
         emitted = 0
-        delta = self.delta
         join = self._pair
 
         # JR1 — x_prev pairs with the (x_prev.ts, x.ts] exterior run minus its

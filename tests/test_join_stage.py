@@ -103,3 +103,19 @@ def test_replay_join_empty_group_schema():
     out = replay_join_table(part)
     assert out.num_rows == 0
     assert "r_text" in out.schema.names and "emit_seq" in out.schema.names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_deterministic_across_runs(tmp_path):
+    import ray.data
+
+    tbl = fixtures.transcripts_table(n_convs=15, turns_per_conv=30, seed=21)
+    path = str(tmp_path / "t")
+    fixtures.write_transcripts(tbl, path, n_files=3)
+    runs = []
+    for _ in range(2):
+        df = flagship_join(ray.data.read_parquet(path), delta_time=3.0).to_pandas()
+        runs.append(df.sort_values(["conv_id", "emit_seq"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(runs[0], runs[1])
