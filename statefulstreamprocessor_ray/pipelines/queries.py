@@ -349,6 +349,12 @@ def q_lsh_topk(sf_dir):
     return similarity.lsh_topk(_embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_ivf_topk(sf_dir):
+    return similarity.ivf_topk(
+        _embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10, n_list=16, nprobe=4
+    )
+
+
 QUERIES = {
     "filter_prefix": q_filter_prefix,
     "explode": q_explode,
@@ -378,6 +384,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
 }
 
 

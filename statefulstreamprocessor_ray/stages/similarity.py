@@ -4,9 +4,16 @@
   via ``ray.put`` and read per actor in ``__init__`` (never re-shipped per
   batch); each batch contributes a partial top-k via one numpy matmul, and the
   driver merges the tiny partials.
-- ``lsh_topk``: random-hyperplane LSH variant — candidates restricted to
-  matching buckets (the 100 TB scale path: one groupby over bucket ids instead
-  of scanning the corpus per query).
+- ``lsh_topk``: random-hyperplane LSH variant — per-batch bucket codes from
+  broadcast planes; only rows whose bucket is within the probe Hamming radius
+  of a query's bucket enter that query's matmul, so per-batch work shrinks by
+  the bucket selectivity while the data never leaves the workers.
+- ``ivf_topk``: IVF variant — k-means centroids trained on a driver-side
+  sample, broadcast once; each batch assigns rows to their nearest centroid
+  and only rows landing in a query's ``nprobe`` closest lists are scored.
+  The scale path: centroid training cost is O(sample), scoring cost drops to
+  ~nprobe/n_list of brute force, and everything between sample and final
+  merge is map_batches over streaming blocks.
 """
 
 from __future__ import annotations
@@ -56,37 +63,45 @@ class PartialTopK:
         )
 
 
-def brute_force_topk(
-    ds: ray.data.Dataset,
-    query_ids: list[int],
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> pa.Table:
-    """Exact top-k cosine neighbors for the given query ids (queries are rows
-    of the same dataset). Ties broken by (rounded sim desc, neighbor_id asc)."""
-    q_tbl = pa.concat_tables(
-        b
-        for b in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+def _fetch_queries(ds, query_ids, vec_col, id_col) -> dict:
+    """Pull just the query rows to the driver (pushdown filter on the id
+    column; at 100 TB the query set is a handful of rows)."""
+    want = list(query_ids)
+    batches = list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t[id_col], value_set=pa.array(want, t[id_col].type))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
     )
-    q_ids_np = q_tbl[id_col].to_numpy(zero_copy_only=False)
-    mask = np.isin(q_ids_np, query_ids)
-    queries = {
-        "ids": q_ids_np[mask],
-        "unit": _normalize(_to_matrix(q_tbl[vec_col]))[mask],
+    q_tbl = pa.concat_tables(batches) if batches else None
+    if q_tbl is None or q_tbl.num_rows == 0:
+        return {"ids": np.array([], np.int64), "unit": np.zeros((0, 1))}
+    return {
+        "ids": q_tbl[id_col].to_numpy(zero_copy_only=False),
+        "unit": _normalize(_to_matrix(q_tbl[vec_col])),
     }
-    ref = ray.put(queries)
 
-    partials = ds.select_columns([id_col, vec_col]).map_batches(
-        PartialTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=2,
-    )
+
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim_r": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+def _merge_partials(partials: ray.data.Dataset, k: int) -> pa.Table:
+    """Driver-side merge of tiny per-block partial top-k tables: round sims,
+    rank by (sim desc, neighbor_id asc), keep k per query."""
     df = partials.to_pandas()  # tiny: n_queries * k * n_blocks rows
+    df = df.drop_duplicates(subset=["query_id", "neighbor_id"])
     df["sim_r"] = df["sim"].round(6)
     df = df.sort_values(
         ["query_id", "sim_r", "neighbor_id"], ascending=[True, False, True]
@@ -106,6 +121,81 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact top-k cosine neighbors for the given query ids (queries are rows
+    of the same dataset). Ties broken by (rounded sim desc, neighbor_id asc)."""
+    q = _fetch_queries(ds, query_ids, vec_col, id_col)
+    if len(q["ids"]) == 0:
+        return _EMPTY_TOPK
+    ref = ray.put(q)
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+    return _merge_partials(partials, k)
+
+
+class _BucketedPartialTopK:
+    """map_batches actor: partial top-k where each query scores only the batch
+    rows its candidate rule admits (LSH bucket radius / IVF probed lists)."""
+
+    def __init__(self, bcast_ref, k: int, vec_col: str, id_col: str):
+        b = ray.get(bcast_ref)  # once per actor
+        self.q_ids = b["ids"]
+        self.q_unit = b["unit"]
+        self.mode = b["mode"]
+        if self.mode == "lsh":
+            self.planes = b["planes"]
+            self.q_bits = b["q_bits"]  # (nq, n_planes) bool
+            self.radius = b["radius"]
+        else:  # ivf
+            self.centroids = b["centroids"]  # (n_list, d) unit rows
+            self.q_probe = b["q_probe"]  # (nq, nprobe) list ids
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def _candidates(self, unit: np.ndarray) -> list[np.ndarray]:
+        """Per-query candidate row indices within this batch."""
+        if self.mode == "lsh":
+            bits = (unit @ self.planes.T) >= 0  # (n, n_planes)
+            return [
+                np.flatnonzero((bits != qb).sum(axis=1) <= self.radius)
+                for qb in self.q_bits
+            ]
+        assign = np.argmax(unit @ self.centroids.T, axis=1)  # (n,)
+        return [np.flatnonzero(np.isin(assign, probe)) for probe in self.q_probe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        unit = _normalize(_to_matrix(batch[self.vec_col]))
+        out_q, out_n, out_s = [], [], []
+        for qi, cand in enumerate(self._candidates(unit)):
+            if len(cand) == 0:
+                continue
+            sims = unit[cand] @ self.q_unit[qi]
+            kk = min(self.k, len(cand))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([self.q_ids[qi]] * kk)
+            out_n.extend(ids[cand[part]])
+            out_s.extend(sims[part])
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(out_q, np.int64)),
+                "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
+                "sim": pa.array(np.asarray(out_s, np.float64)),
+            }
+        )
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     query_ids: list[int],
@@ -117,36 +207,97 @@ def lsh_topk(
     seed: int = 13,
 ) -> pa.Table:
     """Approximate top-k: random-hyperplane buckets; candidates = vectors whose
-    bucket is within Hamming ``n_probe_hamming`` of the query's bucket."""
-    tbl = pa.concat_tables(
-        b
-        for b in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        )
-    )
-    ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    unit = _normalize(_to_matrix(tbl[vec_col]))
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, unit.shape[1]))
-    codes = ((unit @ planes.T) >= 0) @ (1 << np.arange(n_planes))
+    bucket is within Hamming ``n_probe_hamming`` of the query's bucket.
 
-    mask = np.isin(ids, query_ids)
-    rows = []
-    for qi in np.flatnonzero(mask):
-        d = np.array([bin(int(codes[qi]) ^ int(c)).count("1") for c in codes])
-        cand = np.flatnonzero(d <= n_probe_hamming)
-        sims = unit[cand] @ unit[qi]
-        order = np.lexsort((ids[cand], -np.round(sims, 6)))[:k]
-        for rank, oi in enumerate(order, 1):
-            rows.append(
-                (int(ids[qi]), int(ids[cand[oi]]), round(float(sims[oi]), 6), rank)
-            )
-    rows.sort(key=lambda r: (r[0], r[3]))
-    return pa.table(
+    Bucket codes are computed per batch from broadcast planes inside
+    map_batches — the corpus never leaves the workers; only per-block partial
+    top-k tables reach the driver."""
+    q = _fetch_queries(ds, query_ids, vec_col, id_col)
+    if len(q["ids"]) == 0:
+        return _EMPTY_TOPK
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, q["unit"].shape[1]))
+    ref = ray.put(
         {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
-            "sim_r": pa.array([r[2] for r in rows], pa.float64()),
-            "rank": pa.array([r[3] for r in rows], pa.int64()),
+            "mode": "lsh",
+            "ids": q["ids"],
+            "unit": q["unit"],
+            "planes": planes,
+            "q_bits": (q["unit"] @ planes.T) >= 0,
+            "radius": n_probe_hamming,
         }
     )
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _BucketedPartialTopK,
+        fn_constructor_kwargs={"bcast_ref": ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+    return _merge_partials(partials, k)
+
+
+def _train_centroids(
+    sample_unit: np.ndarray, n_list: int, n_iter: int = 10, seed: int = 17
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample. Empty clusters
+    keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    n = len(sample_unit)
+    cent = sample_unit[rng.choice(n, size=min(n_list, n), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample_unit @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample_unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_list: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 65536,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 17,
+) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index: spherical-k-means
+    centroids trained on a bounded sample, broadcast once; each batch assigns
+    its rows to the nearest centroid and a query scores only rows in its
+    ``nprobe`` closest lists. ``nprobe == n_list`` degrades to exact brute
+    force (asserted in tests)."""
+    q = _fetch_queries(ds, query_ids, vec_col, id_col)
+    if len(q["ids"]) == 0:
+        return _EMPTY_TOPK
+    sample_tbl = pa.concat_tables(
+        b
+        for b in ds.select_columns([vec_col])
+        .limit(train_sample)
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    cent = _train_centroids(_normalize(_to_matrix(sample_tbl[vec_col])), n_list, seed=seed)
+    q_probe = np.argsort(-(q["unit"] @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    ref = ray.put(
+        {
+            "mode": "ivf",
+            "ids": q["ids"],
+            "unit": q["unit"],
+            "centroids": cent,
+            "q_probe": q_probe,
+        }
+    )
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _BucketedPartialTopK,
+        fn_constructor_kwargs={"bcast_ref": ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+    return _merge_partials(partials, k)
