@@ -416,13 +416,7 @@ class StreamingJoinJob:
         """Run (or resume) the job; ``max_epochs`` limits this invocation to
         simulate a crash/stop for resume tests."""
         cfg = self.cfg
-        part_dir = partition_input(cfg)
-        epochs = list_epochs(part_dir)
-
         committed = self.sink.committed_epochs()
-        assert committed == epochs[: len(committed)], (
-            "manifest set must be a prefix of the epoch sequence"
-        )
         last_committed = committed[-1] if committed else -1
 
         cfg_dict = {
@@ -433,11 +427,21 @@ class StreamingJoinJob:
             "delta_us": int(cfg.delta_time * US) if cfg.delta_time else None,
             "max_carry_rows": cfg.max_carry_rows_per_shard,
         }
+        # actor-pool spin-up + checkpoint restore run concurrently with the
+        # phase-0 partition pass (neither depends on the partition layout)
         shards = [
             JoinShardActor.remote(k, cfg_dict, self.ckpt_dir)
             for k in range(cfg.n_shards)
         ]
-        restored = ray.get([s.restore.remote(last_committed) for s in shards])
+        restore_refs = [s.restore.remote(last_committed) for s in shards]
+
+        part_dir = partition_input(cfg)
+        epochs = list_epochs(part_dir)
+        assert committed == epochs[: len(committed)], (
+            "manifest set must be a prefix of the epoch sequence"
+        )
+
+        restored = ray.get(restore_refs)
         if last_committed >= 0 and any(r != last_committed for r in restored):
             raise RuntimeError(
                 "resume aborted: committed manifests exist up to epoch "
@@ -463,14 +467,36 @@ class StreamingJoinJob:
             watermark = self.sink.manifest(last_committed)["cursor"].get(
                 "watermark_us", -(2**62)
             )
-        processed = 0
-        for epoch in epochs:
-            if epoch <= last_committed:
-                continue
-            if max_epochs is not None and processed >= max_epochs:
-                break
+        todo = [e for e in epochs if e > last_committed]
+        if max_epochs is not None:
+            todo = todo[:max_epochs]
+
+        # Event-time epochs ("ts") never drop on the watermark gate (each
+        # epoch's rows are >= its start, which is >= the prior watermark), so
+        # the per-epoch input watermark is constant and every epoch can be
+        # submitted up-front: actor-task ordering pipelines each shard through
+        # its epochs independently — a straggler shard in epoch e no longer
+        # stalls other shards' epoch e+1 — while the driver still commits
+        # manifests strictly in order (exactly-once unchanged). Arrival mode
+        # needs the previous epoch's global min-frontier as the gate, so it
+        # keeps the barrier.
+        pending: dict[int, list] = {}
+        if cfg.epoch_by == "ts":
+            for epoch in todo:
+                pending[epoch] = [
+                    s.process_epoch.remote(
+                        epoch,
+                        os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
+                        cfg.out_dir,
+                        watermark,
+                    )
+                    for k, s in enumerate(shards)
+                ]
+        for epoch in todo:
             parts = ray.get(
-                [
+                pending.pop(epoch)
+                if epoch in pending
+                else [
                     s.process_epoch.remote(
                         epoch,
                         os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
@@ -514,7 +540,6 @@ class StreamingJoinJob:
                     "order_violations": viol,
                 }
             )
-            processed += 1
 
         for s in shards:
             ray.kill(s)
