@@ -10,13 +10,13 @@
 - SimHash near-dup: 64-bit simhash + banded blocking, Hamming-distance verify,
 - embedding cosine near-dup over a list<float> column.
 
-All shingling/hashing is deterministic (md5-derived), never Python's salted
-``hash``. Pairs are emitted once with a < b.
+All shingling/hashing is deterministic — ``pd.util.hash_array`` (fixed-key
+SipHash, stable cross-process), never Python's salted ``hash``; one vectorized
+hash call per batch instead of a per-shingle digest loop. Pairs are emitted
+once with a < b.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -44,8 +44,24 @@ def _word_shingles(text: str, k: int) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _shingle_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+def _batch_shingle_hashes(batch, k: int, text_col: str, id_col: str):
+    """Flatten a batch's distinct shingles and hash them in ONE vectorized
+    call. Returns (doc_ids int64[n], counts int64[n_docs], hashes uint64[n])
+    where hashes are grouped contiguously per doc."""
+    ids, counts, flat = [], [], []
+    for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+        sh = _word_shingles(text, k)
+        ids.append(doc_id)
+        counts.append(len(sh))
+        flat.extend(sh)
+    hashes = (
+        pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
+        if flat
+        else np.array([], np.uint64)
+    )
+    counts = np.asarray(counts, np.int64)
+    doc_ids = np.repeat(np.asarray(ids, np.int64), counts)
+    return doc_ids, counts, hashes
 
 
 class ShingleStage:
@@ -56,14 +72,10 @@ class ShingleStage:
         self.k, self.text_col, self.id_col = k, text_col, id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes = [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            for sh in _word_shingles(text, self.k):
-                ids.append(doc_id)
-                hashes.append(_shingle_hash64(sh))
-        return pd.DataFrame(
-            {"doc_id": np.array(ids, dtype=np.int64), "sh": np.array(hashes, dtype=np.uint64)}
+        doc_ids, _, hashes = _batch_shingle_hashes(
+            batch, self.k, self.text_col, self.id_col
         )
+        return pd.DataFrame({"doc_id": doc_ids, "sh": hashes})
 
 
 def _bucket_pairs(keys: list[str], n_buckets: int = 64):
@@ -186,31 +198,47 @@ class MinHashStage:
         self.k, self.text_col, self.id_col = k, text_col, id_col
 
     def signature(self, text: str) -> np.ndarray | None:
-        sh = np.array(
-            [_shingle_hash64(s) for s in _word_shingles(text, self.k)], dtype=np.uint64
-        )
-        if len(sh) == 0:
+        """Single-doc signature (kept for direct use/tests)."""
+        sh_set = _word_shingles(text, self.k)
+        if not sh_set:
             return None
-        # (a*x + b) mod p, min over shingles, per permutation — vectorized
+        sh = pd.util.hash_array(np.asarray(sorted(sh_set), dtype=object), categorize=False)
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = self.signature(text)
-            if sig is None:
-                continue
-            for bi in range(self.bands):
-                h = hashlib.md5(sig[bi * self.r : (bi + 1) * self.r].tobytes()).digest()
-                ids.append(doc_id)
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(h[:8], "big"))
+        doc_ids_rep, counts, flat = _batch_shingle_hashes(
+            batch, self.k, self.text_col, self.id_col
+        )
+        keep = counts > 0
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], np.int64),
+                    "band_id": np.array([], np.int32),
+                    "band_hash": np.array([], np.uint64),
+                }
+            )
+        # per-doc segment boundaries into the flat hash array
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[keep]
+        ids = np.asarray(batch[self.id_col], np.int64)[keep]
+        # signatures: for each permutation, (a*x+b) % p then per-doc min —
+        # np.minimum.reduceat over the flat array, one pass per permutation
+        n_docs = int(keep.sum())
+        sig = np.empty((n_docs, self.n_perm), np.uint64)
+        for p in range(self.n_perm):
+            vals = (flat * self.a[p] + self.b[p]) % MERSENNE
+            sig[:, p] = np.minimum.reduceat(vals, starts)
+        # band hashes: polynomial combine of each band's r rows, vectorized
+        band = sig.reshape(n_docs, self.bands, self.r)
+        h = np.zeros((n_docs, self.bands), np.uint64)
+        for j in range(self.r):
+            h = h * np.uint64(1_000_003) + band[:, :, j]
         return pd.DataFrame(
             {
-                "doc_id": np.array(ids, dtype=np.int64),
-                "band_id": np.array(band_ids, dtype=np.int32),
-                "band_hash": np.array(band_hashes, dtype=np.uint64),
+                "doc_id": np.repeat(ids, self.bands),
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int32), n_docs),
+                "band_hash": h.reshape(-1),
             }
         )
 
@@ -277,11 +305,11 @@ class SimHashStage:
         self.k, self.text_col, self.id_col = k, text_col, id_col
 
     def simhash(self, text: str) -> int:
-        hs = np.array(
-            [_shingle_hash64(s) for s in _word_shingles(text, self.k)], dtype=np.uint64
-        )
-        if len(hs) == 0:
+        """Single-doc simhash (kept for direct use/tests)."""
+        sh_set = _word_shingles(text, self.k)
+        if not sh_set:
             return 0
+        hs = pd.util.hash_array(np.asarray(sorted(sh_set), dtype=object), categorize=False)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
@@ -289,13 +317,29 @@ class SimHashStage:
         return int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids_rep, counts, flat = _batch_shingle_hashes(
+            batch, self.k, self.text_col, self.id_col
+        )
+        n_docs = len(counts)
+        out = np.zeros(n_docs, np.uint64)
+        nonzero = counts > 0
+        if nonzero.any():
+            # set-bit counts per doc per position: unpackbits to a (n, 64)
+            # little-endian bit matrix, then one np.add.reduceat per batch
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonzero]
+            ones = np.add.reduceat(bits, starts, axis=0)  # (n_docs_nz, 64)
+            votes = 2 * ones - counts[nonzero][:, None]  # ones - zeros
+            codes = ((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                axis=1
+            )
+            out[nonzero] = codes
         return pd.DataFrame(
             {
-                "doc_id": batch[self.id_col].astype(np.int64),
-                "simhash": np.array(
-                    [self.simhash(t) for t in batch[self.text_col].fillna("")],
-                    dtype=np.uint64,
-                ),
+                "doc_id": np.asarray(batch[self.id_col], np.int64),
+                "simhash": out,
             }
         )
 
