@@ -72,10 +72,19 @@ class ShingleStage:
         self.k, self.text_col, self.id_col = k, text_col, id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, _, hashes = _batch_shingle_hashes(
+        doc_ids, counts, hashes = _batch_shingle_hashes(
             batch, self.k, self.text_col, self.id_col
         )
-        return pd.DataFrame({"doc_id": doc_ids, "sh": hashes})
+        # carry the doc's total distinct-shingle count on every row: |A| then
+        # rides the same shuffle as the intersections, so Jaccard needs no
+        # second pass over the corpus
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "sh": hashes,
+                "n": np.repeat(counts, counts).astype(np.int64),
+            }
+        )
 
 
 def _bucket_pairs(keys: list[str], n_buckets: int = 64):
@@ -94,20 +103,43 @@ def _bucket_pairs(keys: list[str], n_buckets: int = 64):
         return df
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        """Emit the bucket's within-key pairs, PRE-AGGREGATED per (doc_a,
+        doc_b): ``inter`` counts how many of this bucket's keys the pair
+        shares. Cross-bucket partials are summed by the caller — combiner
+        before the exchange, so the pair partials (not the raw per-key pair
+        explosion) are all that leaves the task."""
+        carry_n = "n" in g.columns
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for _, grp in g.groupby(list(keys), sort=False):
-            docs = np.unique(grp["doc_id"].to_numpy())
+            sub = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            docs = sub["doc_id"].to_numpy()
             if len(docs) < 2:
                 continue
             ai, bi = np.triu_indices(len(docs), k=1)
             out_a.append(docs[ai])
             out_b.append(docs[bi])
+            if carry_n:
+                ns = sub["n"].to_numpy()
+                out_na.append(ns[ai])
+                out_nb.append(ns[bi])
+        cols = {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+        if carry_n:
+            cols["n_a"] = np.array([], np.int64)
+            cols["n_b"] = np.array([], np.int64)
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
-            )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            cols["inter"] = np.array([], np.int64)
+            return pd.DataFrame(cols)
+        cols["doc_a"] = np.concatenate(out_a)
+        cols["doc_b"] = np.concatenate(out_b)
+        if carry_n:
+            cols["n_a"] = np.concatenate(out_na)
+            cols["n_b"] = np.concatenate(out_nb)
+        df = pd.DataFrame(cols)
+        gb_cols = ["doc_a", "doc_b"] + (["n_a", "n_b"] if carry_n else [])
+        return (
+            df.groupby(gb_cols, sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "inter"})
         )
 
     return add_bucket, pairs_in_bucket
@@ -122,44 +154,43 @@ def ngram_jaccard_pairs(
 ) -> pa.Table:
     """Exact n-gram-Jaccard duplicate pairs: (doc_a, doc_b, jaccard >= t).
 
-    Shuffle-shape: shingle rows groupby(shingle) -> per-shingle doc lists ->
-    pair partials -> groupby(pair) intersection counts. Candidate generation
-    is complete because J(a,b) > 0 implies a shared shingle. Hot shingles
-    (appearing in >max_df docs) would explode pairwise; callers at scale
-    should drop them — here df is bounded by the corpus.
+    Shuffle-shape: shingle rows (carrying their doc's size |A|) ->
+    groupby(shingle-bucket) -> pair partials with (n_a, n_b) -> groupby(pair)
+    intersection counts. ONE pass over the corpus, one pipeline, two shuffles
+    whose payloads shrink at each step; only the (pair, inter, n_a, n_b)
+    aggregate reaches the driver. Candidate generation is complete because
+    J(a,b) > 0 implies a shared shingle. Hot shingles (appearing in >max_df
+    docs) would explode pairwise; callers at scale should drop them — here df
+    is bounded by the corpus.
     """
     # plain-function stage (tasks): ShingleStage's init is trivial, so an
     # actor pool only adds startup latency
     sh = ds.map_batches(
         ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
-    ).materialize()  # consumed twice (sizes + intersections); avoid recompute
-    # |A|: per-doc distinct-shingle counts — per-batch partials merged on the
-    # driver (docs are contiguous within batches, so partials are tiny; saves
-    # a whole shuffle job vs groupby().count()).
-    def _sizes_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df.groupby("doc_id").size()
-        return pd.DataFrame({"doc_id": vc.index.to_numpy(), "n": vc.to_numpy()})
-
-    sizes = (
-        sh.map_batches(_sizes_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("doc_id")["n"]
-        .sum()
     )
-    # |A ∩ B|: per-shingle pair explosion stays in the cluster; the driver only
-    # sees the (pair, intersection) aggregate.
     add_bucket, pairs_in_bucket = _bucket_pairs(["sh"])
-    inter = (
+    partials = (
         sh.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
         .to_pandas()
     )
+    # cross-bucket merge of the pre-aggregated pair partials on the driver:
+    # the partial set is bounded by the candidate-pair count (~ the dup rate),
+    # orders of magnitude smaller than the shingle exchange it rode in on —
+    # same sanctioned small-result pattern as cluster_duplicates
+    if partials.empty:  # zero pairs anywhere -> column-less empty frame
+        partials = pd.DataFrame(
+            {c: [] for c in ["doc_a", "doc_b", "n_a", "n_b", "inter"]}
+        )
+    inter = partials.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)[
+        "inter"
+    ].sum()
     rows = []
-    for a, b, c in zip(inter["doc_a"], inter["doc_b"], inter["count()"]):
-        union = int(sizes[a]) + int(sizes[b]) - int(c)
+    for a, b, c, na, nb in zip(
+        inter["doc_a"], inter["doc_b"], inter["inter"], inter["n_a"], inter["n_b"]
+    ):
+        union = int(na) + int(nb) - int(c)
         jac = int(c) / union if union else 0.0
         if jac >= threshold:
             rows.append((int(a), int(b), jac))
@@ -263,10 +294,11 @@ def minhash_lsh_pairs(
         buckets.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
         .to_pandas()
     )
+    if cand_df.empty:
+        cand_df = pd.DataFrame({"doc_a": [], "doc_b": []})
+    cand_df = cand_df.drop_duplicates(["doc_a", "doc_b"])  # cross-bucket dedup
     cand = list(zip(cand_df["doc_a"].astype(int), cand_df["doc_b"].astype(int)))
 
     docs_df = ds.select_columns([id_col, text_col]).to_pandas()
