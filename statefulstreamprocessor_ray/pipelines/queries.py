@@ -240,6 +240,23 @@ def q_asof_join(sf_dir):
     return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cep_funnel(sf_dir):
+    """CEP sequence detection: view -> click -> purchase funnel per user,
+    strict contiguity, span <= 48h."""
+    from statefulstreamprocessor_ray.stages.cep import match_sequence
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return match_sequence(
+        ev,
+        pattern=["view", "click", "purchase"],
+        within_s=48 * 3600.0,
+        key_col="user_id",
+        ts_col="ts",
+        event_col="event_type",
+        tie_col="event_id",
+    )
+
+
 def q_dedup_exact(sf_dir):
     return dedup.exact_dedup(_documents(sf_dir, columns=["doc_id", "text"]))
 
@@ -370,6 +387,7 @@ QUERIES = {
     "windowed_join": q_windowed_join,
     "windowed_join_sliding": q_windowed_join_sliding,
     "asof_join": q_asof_join,
+    "cep_funnel": q_cep_funnel,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -516,6 +534,26 @@ WITH u AS (
 SELECT user_id, tu AS l_ts_us, CAST(event_id AS BIGINT) AS l_event_id,
        value AS l_value, r_ts_us, r_value
 FROM o WHERE event_type='purchase'
+""",
+    "cep_funnel": """
+WITH b AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events
+), o AS (
+  SELECT user_id, event_id, event_type, tu,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2,
+         lead(tu, 2) OVER w AS t2,
+         lead(event_id, 2) OVER w AS i2
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+)
+SELECT user_id, tu AS start_ts_us, t2 AS end_ts_us,
+       CAST(event_id AS BIGINT) AS start_event_id,
+       CAST(i2 AS BIGINT) AS end_event_id,
+       t2 - tu AS span_us
+FROM o
+WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+  AND t2 - tu <= 172800000000
 """,
     "dedup_exact": """
 SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

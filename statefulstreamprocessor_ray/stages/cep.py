@@ -1,0 +1,146 @@
+"""CEP sequence-pattern detection over keyed event streams.
+
+The reference engine's CEP surface is its ordered pairwise join
+(``05_LocalStreamBuffer/local_stream_buffer.py:104-396`` — a 2-event
+"pattern"); this module generalizes to L-step sequence detection, the
+MATCH_RECOGNIZE / FlinkCEP-style operator a streaming engine is expected to
+carry. Semantics (pinned, SQL-oracle-checkable):
+
+- events are ordered per key by ``(ts, tie)`` — the engine's global pinned
+  order;
+- a **match** is L *consecutive* rows of one key whose ``event_col`` values
+  equal ``pattern[0..L-1]`` (strict contiguity, like MATCH_RECOGNIZE without
+  gaps), optionally constrained to span ``within_s`` seconds;
+- matches may overlap (every position is tested).
+
+Physical plan: the same explicit partitioned pattern as the ordered join —
+one ``map_batches`` adds ``_shard = hash(key) % P``, one int-keyed shuffle,
+then each shard sorts once and evaluates the whole pattern with ~L shifted
+numpy comparisons (no per-row Python, no per-key loop).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+US = 1_000_000
+
+
+def _match_group(
+    group: pa.Table,
+    pattern: Sequence[str],
+    within_us: int | None,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    tie_col: str,
+) -> pa.Table:
+    """Vectorized multi-key sequence scan over one shard."""
+    L = len(pattern)
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[
+            (key_col, "ascending"),
+            (ts_col, "ascending"),
+            (tie_col, "ascending"),
+        ],
+    )
+    g = group.take(idx).combine_chunks()
+    n = g.num_rows
+    empty = pa.table(
+        {
+            key_col: pa.array([], g[key_col].type),
+            "start_ts_us": pa.array([], pa.int64()),
+            "end_ts_us": pa.array([], pa.int64()),
+            "start_event_id": pa.array([], pa.int64()),
+            "end_event_id": pa.array([], pa.int64()),
+            "span_us": pa.array([], pa.int64()),
+        }
+    )
+    if n < L:
+        return empty
+    et = g[event_col].to_numpy(zero_copy_only=False)
+    ts = pc.cast(pc.cast(g[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    tie = g[tie_col].to_numpy(zero_copy_only=False)
+    codes = (
+        pc.dictionary_encode(g[key_col])
+        .combine_chunks()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    m = n - L + 1
+    ok = np.ones(m, bool)
+    for j, step in enumerate(pattern):
+        ok &= et[j : m + j] == step
+    ok &= codes[:m] == codes[L - 1 :]  # whole window inside one key
+    if within_us is not None:
+        ok &= (ts[L - 1 :] - ts[:m]) <= within_us
+    starts = np.flatnonzero(ok)
+    ends = starts + L - 1
+    return pa.table(
+        {
+            key_col: g[key_col].take(pa.array(starts, pa.int64())),
+            "start_ts_us": pa.array(ts[starts], pa.int64()),
+            "end_ts_us": pa.array(ts[ends], pa.int64()),
+            "start_event_id": pa.array(tie[starts].astype(np.int64), pa.int64()),
+            "end_event_id": pa.array(tie[ends].astype(np.int64), pa.int64()),
+            "span_us": pa.array(ts[ends] - ts[starts], pa.int64()),
+        }
+    )
+
+
+def match_sequence(
+    ds: ray.data.Dataset,
+    pattern: Sequence[str],
+    within_s: float | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tie_col: str = "event_id",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Detect ``pattern`` (strict-contiguity event sequence) per key.
+
+    Returns one row per match: (key, start_ts_us, end_ts_us, start_event_id,
+    end_event_id, span_us). Overlapping matches are all reported.
+    """
+    if len(pattern) < 1:
+        raise ValueError("pattern must have at least one step")
+    import ray as _ray
+
+    within_us = int(within_s * US) if within_s is not None else None
+    if n_shards is None:
+        try:
+            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            n_shards = 32
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
+
+    pat = list(pattern)
+
+    def fn(group: pa.Table) -> pa.Table:
+        return _match_group(
+            group.drop_columns(["_shard"]),
+            pat,
+            within_us,
+            key_col,
+            ts_col,
+            event_col,
+            tie_col,
+        )
+
+    tagged = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_shard").map_groups(fn, batch_format="pyarrow")
