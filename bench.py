@@ -160,6 +160,14 @@ def bench_ann(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def bench_cep(sf_dir: str) -> dict:
+    from statefulstreamprocessor_ray.pipelines.queries import q_cep_funnel
+
+    t0 = time.time()
+    n = q_cep_funnel(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -184,6 +192,7 @@ def run_bench() -> dict:
         "dedup_minhash": lambda: bench_dedup(SF_DIR),
         "text_stats": lambda: bench_text(SF_DIR),
         "ann_topk": lambda: bench_ann(SF_DIR),
+        "cep_funnel": lambda: bench_cep(SF_DIR),
     }
     results = {}
     for name, fn in benches.items():
@@ -192,7 +201,9 @@ def run_bench() -> dict:
         results[name] = fn()
 
     ray.shutdown()
-    headline = results[next(iter(results))]["sec"] if "flagship_join" not in results else results["flagship_join"]["sec"]
+    if not results:
+        raise SystemExit(f"BENCH_ONLY={BENCH_ONLY} matched no bench (have: {list(benches)})")
+    headline = results.get("flagship_join", results[next(iter(results))])["sec"]
     return {
         "metric": "flagship ordered-join wall sec (LSB semantics, transcript corpus)",
         "value": round(headline, 3),

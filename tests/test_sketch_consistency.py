@@ -1,0 +1,51 @@
+"""Batch-vs-single-doc consistency for the vectorized sketch stages: the
+reduceat/unpackbits batch paths must produce exactly the per-doc values the
+scalar ``signature()`` / ``simhash()`` methods produce."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from statefulstreamprocessor_ray.stages.dedup import MinHashStage, SimHashStage
+
+WORDS = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "the", "of"]
+
+texts_strategy = st.lists(
+    st.one_of(
+        st.just(""),
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=texts_strategy)
+def test_minhash_batch_matches_single_doc(texts):
+    stage = MinHashStage(n_perm=16, bands=4)
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = stage(batch)
+    for doc_id, text in enumerate(texts):
+        sig = stage.signature(text)
+        got = out[out.doc_id == doc_id]
+        if sig is None:
+            assert got.empty
+            continue
+        # recompute band hashes from the scalar signature
+        band = sig.reshape(stage.bands, stage.r)
+        h = np.zeros(stage.bands, np.uint64)
+        for j in range(stage.r):
+            h = h * np.uint64(1_000_003) + band[:, j]
+        assert list(got.sort_values("band_id")["band_hash"]) == list(h)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=texts_strategy)
+def test_simhash_batch_matches_single_doc(texts):
+    stage = SimHashStage(k=2)
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = stage(batch)
+    by_id = dict(zip(out["doc_id"], out["simhash"]))
+    for doc_id, text in enumerate(texts):
+        assert int(by_id[doc_id]) == stage.simhash(text)
