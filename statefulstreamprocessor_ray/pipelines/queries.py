@@ -257,6 +257,24 @@ def q_cep_funnel(sf_dir):
     )
 
 
+def q_cep_funnel_skip(sf_dir):
+    """CEP skip-till-next-match funnel (FlinkCEP followedBy): each view binds
+    to the user's next click, which binds to the next purchase; span <= 48h."""
+    from statefulstreamprocessor_ray.stages.cep import match_sequence
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return match_sequence(
+        ev,
+        pattern=["view", "click", "purchase"],
+        within_s=48 * 3600.0,
+        key_col="user_id",
+        ts_col="ts",
+        event_col="event_type",
+        tie_col="event_id",
+        contiguity="skip",
+    )
+
+
 def q_dedup_exact(sf_dir):
     return dedup.exact_dedup(_documents(sf_dir, columns=["doc_id", "text"]))
 
@@ -388,6 +406,7 @@ QUERIES = {
     "windowed_join_sliding": q_windowed_join_sliding,
     "asof_join": q_asof_join,
     "cep_funnel": q_cep_funnel,
+    "cep_funnel_skip": q_cep_funnel_skip,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -554,6 +573,33 @@ SELECT user_id, tu AS start_ts_us, t2 AS end_ts_us,
 FROM o
 WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
   AND t2 - tu <= 172800000000
+""",
+    "cep_funnel_skip": """
+WITH b AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events
+), v AS (SELECT * FROM b WHERE event_type = 'view'),
+   c AS (SELECT * FROM b WHERE event_type = 'click'),
+   p AS (SELECT * FROM b WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.user_id, v.event_id AS v_id, v.tu AS v_tu,
+         c.event_id AS c_id, c.tu AS c_tu
+  FROM v JOIN c ON c.user_id = v.user_id
+   AND (c.tu > v.tu OR (c.tu = v.tu AND c.event_id > v.event_id))
+  QUALIFY row_number() OVER (PARTITION BY v.user_id, v.event_id
+                             ORDER BY c.tu, c.event_id) = 1
+),
+vcp AS (
+  SELECT vc.user_id, vc.v_id, vc.v_tu, p.event_id AS p_id, p.tu AS p_tu
+  FROM vc JOIN p ON p.user_id = vc.user_id
+   AND (p.tu > vc.c_tu OR (p.tu = vc.c_tu AND p.event_id > vc.c_id))
+  QUALIFY row_number() OVER (PARTITION BY vc.user_id, vc.v_id
+                             ORDER BY p.tu, p.event_id) = 1
+)
+SELECT user_id, v_tu AS start_ts_us, p_tu AS end_ts_us,
+       CAST(v_id AS BIGINT) AS start_event_id,
+       CAST(p_id AS BIGINT) AS end_event_id,
+       p_tu - v_tu AS span_us
+FROM vcp WHERE p_tu - v_tu <= 172800000000
 """,
     "dedup_exact": """
 SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

@@ -8,10 +8,14 @@ carry. Semantics (pinned, SQL-oracle-checkable):
 
 - events are ordered per key by ``(ts, tie)`` — the engine's global pinned
   order;
-- a **match** is L *consecutive* rows of one key whose ``event_col`` values
-  equal ``pattern[0..L-1]`` (strict contiguity, like MATCH_RECOGNIZE without
-  gaps), optionally constrained to span ``within_s`` seconds;
-- matches may overlap (every position is tested).
+- ``contiguity="strict"``: a **match** is L *consecutive* rows of one key
+  whose ``event_col`` values equal ``pattern[0..L-1]`` (MATCH_RECOGNIZE
+  without gaps); every position is tested, so matches may overlap;
+- ``contiguity="skip"``: skip-till-next-match (FlinkCEP ``followedBy``) — a
+  match starts at every row equal to ``pattern[0]`` and each later step binds
+  to the key's *next* occurrence of that step after the previous binding
+  (gaps of other events allowed); one match per start row;
+- both optionally constrained to span ``within_s`` seconds end-to-start.
 
 Physical plan: the same explicit partitioned pattern as the ordered join —
 one ``map_batches`` adds ``_shard = hash(key) % P``, one int-keyed shuffle,
@@ -40,6 +44,7 @@ def _match_group(
     ts_col: str,
     event_col: str,
     tie_col: str,
+    contiguity: str = "strict",
 ) -> pa.Table:
     """Vectorized multi-key sequence scan over one shard."""
     L = len(pattern)
@@ -75,15 +80,43 @@ def _match_group(
         .combine_chunks()
         .indices.to_numpy(zero_copy_only=False)
     )
-    m = n - L + 1
-    ok = np.ones(m, bool)
-    for j, step in enumerate(pattern):
-        ok &= et[j : m + j] == step
-    ok &= codes[:m] == codes[L - 1 :]  # whole window inside one key
-    if within_us is not None:
-        ok &= (ts[L - 1 :] - ts[:m]) <= within_us
-    starts = np.flatnonzero(ok)
-    ends = starts + L - 1
+    if contiguity == "strict":
+        m = n - L + 1
+        ok = np.ones(m, bool)
+        for j, step in enumerate(pattern):
+            ok &= et[j : m + j] == step
+        ok &= codes[:m] == codes[L - 1 :]  # whole window inside one key
+        if within_us is not None:
+            ok &= (ts[L - 1 :] - ts[:m]) <= within_us
+        starts = np.flatnonzero(ok)
+        ends = starts + L - 1
+    else:  # skip-till-next-match
+        # key segments are contiguous after the sort, so "next occurrence of
+        # step s after row i within i's key" = first global position of s
+        # after i, valid iff it lies before the segment end — one
+        # searchsorted per step, no per-key loop
+        seg_b = np.flatnonzero(np.diff(codes) != 0) + 1
+        seg_ends = np.concatenate((seg_b, [n]))  # exclusive
+        row_end = np.repeat(seg_ends, np.diff(np.concatenate(([0], seg_ends))))
+        cur = np.flatnonzero(et == pattern[0])  # candidate current positions
+        starts = cur
+        alive = np.ones(len(cur), bool)
+        for step in pattern[1:]:
+            pos = np.flatnonzero(et == step)
+            if len(pos) == 0:
+                alive[:] = False
+                break
+            nxt = np.searchsorted(pos, cur + 1)
+            hit = nxt < len(pos)
+            cand = np.where(hit, pos[np.minimum(nxt, len(pos) - 1)], n)
+            alive &= hit & (cand < row_end[np.minimum(cur, n - 1)])
+            cur = cand
+        ends = cur
+        if within_us is not None:
+            safe_ends = np.minimum(ends, n - 1)
+            alive &= (ts[safe_ends] - ts[np.minimum(starts, n - 1)]) <= within_us
+        starts = starts[alive]
+        ends = ends[alive]
     return pa.table(
         {
             key_col: g[key_col].take(pa.array(starts, pa.int64())),
@@ -105,14 +138,18 @@ def match_sequence(
     event_col: str = "event_type",
     tie_col: str = "event_id",
     n_shards: int | None = None,
+    contiguity: str = "strict",
 ) -> ray.data.Dataset:
-    """Detect ``pattern`` (strict-contiguity event sequence) per key.
+    """Detect ``pattern`` per key (see module docstring for the two
+    contiguity modes).
 
     Returns one row per match: (key, start_ts_us, end_ts_us, start_event_id,
     end_event_id, span_us). Overlapping matches are all reported.
     """
     if len(pattern) < 1:
         raise ValueError("pattern must have at least one step")
+    if contiguity not in ("strict", "skip"):
+        raise ValueError("contiguity must be 'strict' or 'skip'")
     import ray as _ray
 
     within_us = int(within_s * US) if within_s is not None else None
@@ -140,6 +177,7 @@ def match_sequence(
             ts_col,
             event_col,
             tie_col,
+            contiguity,
         )
 
     tagged = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)

@@ -111,3 +111,87 @@ def test_differential_vs_naive_walk(ray_session):
             ):
                 expect.add((u, evs[j][1], evs[j + 1][1], (evs[j + 1][0] - evs[j][0]) * US))
     assert out == expect and len(expect) > 0
+
+
+def test_skip_mode_basic(ray_session):
+    rows = [
+        ("u1", 1, 10, "a"),
+        ("u1", 2, 20, "x"),   # gap event — skip mode tolerates
+        ("u1", 3, 30, "b"),
+        ("u1", 4, 40, "x"),
+        ("u1", 5, 50, "c"),
+    ]
+    strict = match_sequence(_ds(rows), ["a", "b", "c"])
+    skip = match_sequence(_ds(rows), ["a", "b", "c"], contiguity="skip")
+    assert _matches(strict) == []
+    assert _matches(skip) == [("u1", 1, 5, 40 * US)]
+
+
+def test_skip_binds_next_occurrence(ray_session):
+    # a at 10; b at 20 and 30 -> the match must bind b@20, not b@30
+    rows = [("u1", 1, 10, "a"), ("u1", 2, 20, "b"), ("u1", 3, 30, "b")]
+    out = match_sequence(_ds(rows), ["a", "b"], contiguity="skip")
+    assert _matches(out) == [("u1", 1, 2, 10 * US)]
+
+
+def test_skip_one_match_per_start(ray_session):
+    rows = [
+        ("u1", 1, 10, "a"),
+        ("u1", 2, 20, "a"),
+        ("u1", 3, 30, "b"),
+    ]
+    out = match_sequence(_ds(rows), ["a", "b"], contiguity="skip")
+    assert _matches(out) == [("u1", 1, 3, 20 * US), ("u1", 2, 3, 10 * US)]
+
+
+def test_skip_no_cross_key(ray_session):
+    rows = [("u1", 1, 10, "a"), ("u2", 2, 20, "b")]
+    out = match_sequence(_ds(rows), ["a", "b"], contiguity="skip")
+    assert _matches(out) == []
+
+
+def test_skip_missing_step_everywhere(ray_session):
+    rows = [("u1", 1, 10, "a"), ("u1", 2, 20, "a")]
+    out = match_sequence(_ds(rows), ["a", "zzz"], contiguity="skip")
+    assert _matches(out) == []
+
+
+def test_bad_contiguity_raises(ray_session):
+    with pytest.raises(ValueError):
+        match_sequence(_ds([("u1", 1, 10, "a")]), ["a"], contiguity="relaxed")
+
+
+def test_skip_differential_vs_naive_walk(ray_session):
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = 0
+        for _ in range(rng.integers(5, 40)):
+            t += int(rng.integers(1, 50))
+            eid += 1
+            rows.append((f"u{u}", eid, t, str(rng.choice(["a", "b", "c"]))))
+    pattern, within = ["a", "b", "c"], 200.0
+    out = set(_matches(match_sequence(_ds(rows), pattern, within_s=within, contiguity="skip")))
+
+    expect = set()
+    by_key = {}
+    for u, i, t, e in rows:
+        by_key.setdefault(u, []).append((t, i, e))
+    for u, evs in by_key.items():
+        evs.sort()
+        for j0 in range(len(evs)):
+            if evs[j0][2] != pattern[0]:
+                continue
+            j, chain = j0, [j0]
+            ok = True
+            for step in pattern[1:]:
+                nxt = next((jj for jj in range(j + 1, len(evs)) if evs[jj][2] == step), None)
+                if nxt is None:
+                    ok = False
+                    break
+                chain.append(nxt)
+                j = nxt
+            if ok and evs[chain[-1]][0] - evs[j0][0] <= within:
+                expect.add((u, evs[j0][1], evs[chain[-1]][1], (evs[chain[-1]][0] - evs[j0][0]) * US))
+    assert out == expect and len(expect) > 0
