@@ -240,6 +240,42 @@ def q_asof_join(sf_dir):
     return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_streaming_tumbling_agg(sf_dir):
+    """Full streaming windowed-aggregation job (epochs, watermark-gated
+    emission, exactly-once manifests) — final output equals the batch
+    tumbling aggregate, which is the SQL oracle."""
+    import glob
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_windows import (
+        StreamingWindowConfig,
+        StreamingWindowJob,
+    )
+
+    base = f"/tmp/ssp_q_swin_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = StreamingWindowConfig(
+        input_path=f"{sf_dir}/events.parquet",
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=4,
+        epoch_duration_s=2 * 24 * 3600.0,
+        window_size_s=3600.0,
+    )
+    StreamingWindowJob(cfg).run()
+    parts = []
+    for m in sorted(glob.glob(f"{base}/out/_manifests/*.json")):
+        for part in json.load(open(m))["parts"]:
+            if part["rows"]:
+                parts.append(pq.read_table(part["file"]))
+    out = pa.concat_tables(parts)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_cep_funnel(sf_dir):
     """CEP sequence detection: view -> click -> purchase funnel per user,
     strict contiguity, span <= 48h."""
@@ -407,6 +443,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "cep_funnel": q_cep_funnel,
     "cep_funnel_skip": q_cep_funnel_skip,
+    "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -573,6 +610,12 @@ SELECT user_id, tu AS start_ts_us, t2 AS end_ts_us,
 FROM o
 WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
   AND t2 - tu <= 172800000000
+""",
+    "streaming_tumbling_agg": """
+SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
 """,
     "cep_funnel_skip": """
 WITH b AS (
