@@ -240,10 +240,9 @@ def q_asof_join(sf_dir):
     return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_streaming_tumbling_agg(sf_dir):
-    """Full streaming windowed-aggregation job (epochs, watermark-gated
-    emission, exactly-once manifests) — final output equals the batch
-    tumbling aggregate, which is the SQL oracle."""
+def _run_streaming_window_job(sf_dir: str, tag: str, **cfg_kw) -> pa.Table:
+    """Run a full streaming window job into /tmp and return the committed
+    (manifest-listed) output."""
     import glob
     import json
     import shutil
@@ -255,7 +254,7 @@ def q_streaming_tumbling_agg(sf_dir):
         StreamingWindowJob,
     )
 
-    base = f"/tmp/ssp_q_swin_{abs(hash(sf_dir)) % 10**8}"
+    base = f"/tmp/ssp_q_swin_{tag}_{abs(hash(sf_dir)) % 10**8}"
     shutil.rmtree(base, ignore_errors=True)
     cfg = StreamingWindowConfig(
         input_path=f"{sf_dir}/events.parquet",
@@ -263,7 +262,7 @@ def q_streaming_tumbling_agg(sf_dir):
         out_dir=f"{base}/out",
         n_shards=4,
         epoch_duration_s=2 * 24 * 3600.0,
-        window_size_s=3600.0,
+        **cfg_kw,
     )
     StreamingWindowJob(cfg).run()
     parts = []
@@ -274,6 +273,29 @@ def q_streaming_tumbling_agg(sf_dir):
     out = pa.concat_tables(parts)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+def q_streaming_tumbling_agg(sf_dir):
+    """Full streaming windowed-aggregation job (epochs, watermark-gated
+    emission, exactly-once manifests) — final output equals the batch
+    tumbling aggregate, which is the SQL oracle."""
+    return _run_streaming_window_job(sf_dir, "tumb", window_size_s=3600.0)
+
+
+def q_streaming_sliding_agg(sf_dir):
+    """Streaming sliding-window aggregation (1h windows, 15min slide)."""
+    return _run_streaming_window_job(
+        sf_dir, "slide", window_kind="sliding", window_size_s=3600.0, slide_s=900.0
+    )
+
+
+def q_streaming_session_windows(sf_dir):
+    """Streaming session windows (4h inactivity gap): open sessions merge
+    across epochs in shard state; a session emits when the watermark passes
+    end+gap."""
+    return _run_streaming_window_job(
+        sf_dir, "sess", window_kind="session", gap_s=4 * 3600.0
+    )
 
 
 def q_cep_funnel(sf_dir):
@@ -444,6 +466,8 @@ QUERIES = {
     "cep_funnel": q_cep_funnel,
     "cep_funnel_skip": q_cep_funnel_skip,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_sliding_agg": q_streaming_sliding_agg,
+    "streaming_session_windows": q_streaming_session_windows,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -616,6 +640,31 @@ SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS window_start_us,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+    "streaming_sliding_agg": """
+SELECT user_id, (epoch_us(ts)//900000000 - t.i)*900000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(i)
+GROUP BY 1, 2
+""",
+    "streaming_session_windows": """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tu, CAST(floor(value*100+0.5) AS BIGINT) AS cents,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, tu, cents,
+         CASE WHEN prev IS NULL OR tu - prev > 14400000000 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), g AS (
+  SELECT user_id, tu, cents,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, min(tu) AS session_start_us, max(tu) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM g GROUP BY user_id, sid
 """,
     "cep_funnel_skip": """
 WITH b AS (

@@ -56,6 +56,10 @@ class StreamingWindowConfig:
     # emit still-open windows after the last epoch (batch parity); False
     # leaves them in state for a future run over more input
     flush_at_end: bool = True
+    # "tumbling" | "sliding" | "session"
+    window_kind: str = "tumbling"
+    slide_s: float | None = None  # sliding only; each event joins size/slide windows
+    gap_s: float | None = None  # session only; inactivity gap
 
 
 def partition_window_input(cfg: StreamingWindowConfig) -> str:
@@ -126,7 +130,12 @@ class WindowShardActor:
         self.key_col = cfg_dict["key_col"]
         self.value_col = cfg_dict["value_col"]
         self.window_us = cfg_dict["window_us"]
-        self.open: pd.DataFrame | None = None  # key, window_start_us, n, sum_cents
+        self.kind = cfg_dict.get("kind", "tumbling")
+        self.slide_us = cfg_dict.get("slide_us")
+        self.gap_us = cfg_dict.get("gap_us")
+        # tumbling/sliding: (key, window_start_us, n, sum_cents)
+        # session: (key, session_start_us, session_end_us, n, sum_cents)
+        self.open: pd.DataFrame | None = None
         self.frontier_us = -(2**62)
         self.ckpt = CheckpointStore(ckpt_dir)
 
@@ -145,20 +154,115 @@ class WindowShardActor:
         self.frontier_us = snap["frontier_us"]
         return epoch
 
-    def _emit_closed(self, watermark_us: int) -> pd.DataFrame:
-        if self.open is None or self.open.empty:
+    def _empty_out(self) -> pd.DataFrame:
+        if self.kind == "session":
             return pd.DataFrame(
                 {
                     self.key_col: pd.Series([], dtype="object"),
-                    "window_start_us": pd.Series([], dtype="int64"),
+                    "session_start_us": pd.Series([], dtype="int64"),
+                    "session_end_us": pd.Series([], dtype="int64"),
                     "n": pd.Series([], dtype="int64"),
                     "sum_cents": pd.Series([], dtype="int64"),
                 }
             )
-        closed = self.open["window_start_us"] + self.window_us <= watermark_us
+        return pd.DataFrame(
+            {
+                self.key_col: pd.Series([], dtype="object"),
+                "window_start_us": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def _emit_closed(self, watermark_us: int) -> pd.DataFrame:
+        if self.open is None or self.open.empty:
+            return self._empty_out()
+        if self.kind == "session":
+            # a session is closed once no future event can extend it:
+            # watermark has passed end + gap
+            closed = self.open["session_end_us"] + self.gap_us <= watermark_us
+        else:
+            closed = self.open["window_start_us"] + self.window_us <= watermark_us
         out = self.open.loc[closed]
         self.open = self.open.loc[~closed]
         return out
+
+    def _merge_epoch(self, t: pa.Table) -> None:
+        """Fold one epoch's rows into the open-window/session state."""
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t[self.value_col].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        keys = t[self.key_col].to_pandas()
+        if self.kind == "session":
+            part = pd.DataFrame(
+                {
+                    self.key_col: keys,
+                    "session_start_us": ts,
+                    "session_end_us": ts,
+                    "n": np.ones(len(ts), np.int64),
+                    "sum_cents": cents,
+                }
+            )
+            merged = part if self.open is None else pd.concat([self.open, part])
+            # gaps-and-islands over (key, start): one vectorized pass merges
+            # events into existing sessions and coalesces sessions that a new
+            # event bridged
+            merged = merged.sort_values(
+                [self.key_col, "session_start_us", "session_end_us"]
+            ).reset_index(drop=True)
+            key_change = merged[self.key_col].ne(merged[self.key_col].shift())
+            running_end = (
+                merged.groupby(
+                    (key_change).cumsum()
+                )["session_end_us"].cummax()
+                .shift()
+                .fillna(-(2**62))
+            )
+            new_session = key_change | (
+                merged["session_start_us"] - running_end > self.gap_us
+            )
+            sid = new_session.cumsum()
+            self.open = (
+                merged.groupby(sid, sort=False)
+                .agg(
+                    **{
+                        self.key_col: (self.key_col, "first"),
+                        "session_start_us": ("session_start_us", "min"),
+                        "session_end_us": ("session_end_us", "max"),
+                        "n": ("n", "sum"),
+                        "sum_cents": ("sum_cents", "sum"),
+                    }
+                )
+                .reset_index(drop=True)
+            )
+            return
+        if self.kind == "sliding":
+            k = int(self.window_us // self.slide_us)
+            offs = np.arange(k, dtype=np.int64)
+            base = ts // self.slide_us * self.slide_us
+            wstart = (base[:, None] - offs[None, :] * self.slide_us).reshape(-1)
+            part = pd.DataFrame(
+                {
+                    self.key_col: np.repeat(keys.to_numpy(), k),
+                    "window_start_us": wstart,
+                    "n": np.ones(len(ts) * k, np.int64),
+                    "sum_cents": np.repeat(cents, k),
+                }
+            )
+        else:
+            part = pd.DataFrame(
+                {
+                    self.key_col: keys,
+                    "window_start_us": ts // self.window_us * self.window_us,
+                    "n": np.ones(len(ts), np.int64),
+                    "sum_cents": cents,
+                }
+            )
+        merged = part if self.open is None else pd.concat([self.open, part])
+        self.open = merged.groupby(
+            [self.key_col, "window_start_us"], as_index=False, sort=False
+        )[["n", "sum_cents"]].sum()
 
     def process_epoch(
         self, epoch: int, epoch_dir: str | None, sink_dir: str, watermark_us: int
@@ -167,23 +271,8 @@ class WindowShardActor:
         if epoch_dir is not None and os.path.isdir(epoch_dir):
             t = pq.read_table(epoch_dir, columns=[self.key_col, "ts_us", self.value_col])
             if t.num_rows:
-                ts = t["ts_us"].to_numpy(zero_copy_only=False)
-                cents = np.floor(
-                    t[self.value_col].to_numpy(zero_copy_only=False) * 100 + 0.5
-                ).astype(np.int64)
-                part = pd.DataFrame(
-                    {
-                        self.key_col: t[self.key_col].to_pandas(),
-                        "window_start_us": ts // self.window_us * self.window_us,
-                        "n": np.ones(len(ts), np.int64),
-                        "sum_cents": cents,
-                    }
-                )
-                merged = part if self.open is None else pd.concat([self.open, part])
-                self.open = merged.groupby(
-                    [self.key_col, "window_start_us"], as_index=False, sort=False
-                )[["n", "sum_cents"]].sum()
-                mx = int(ts.max())
+                self._merge_epoch(t)
+                mx = int(t["ts_us"].to_numpy(zero_copy_only=False).max())
                 if mx > self.frontier_us:
                     self.frontier_us = mx
 
@@ -229,10 +318,20 @@ class StreamingWindowJob:
         committed = self.sink.committed_epochs()
         last_committed = committed[-1] if committed else -1
 
+        if cfg.window_kind not in ("tumbling", "sliding", "session"):
+            raise ValueError(f"unknown window_kind {cfg.window_kind!r}")
+        if cfg.window_kind == "sliding":
+            if not cfg.slide_s or int(cfg.window_size_s * US) % int(cfg.slide_s * US):
+                raise ValueError("sliding windows need slide_s dividing window_size_s")
+        if cfg.window_kind == "session" and not cfg.gap_s:
+            raise ValueError("session windows need gap_s")
         cfg_dict = {
             "key_col": cfg.key_col,
             "value_col": cfg.value_col,
             "window_us": int(cfg.window_size_s * US),
+            "kind": cfg.window_kind,
+            "slide_us": int(cfg.slide_s * US) if cfg.slide_s else None,
+            "gap_us": int(cfg.gap_s * US) if cfg.gap_s else None,
         }
         shards = [
             WindowShardActor.remote(k, cfg_dict, self.ckpt_dir)

@@ -45,7 +45,10 @@ def _committed_output(out_dir) -> pd.DataFrame:
     if not frames:
         return pd.DataFrame()
     df = pd.concat(frames)
-    return df.sort_values(["user_id", "window_start_us"]).reset_index(drop=True)
+    sort_cols = ["user_id"] + [
+        c for c in ("window_start_us", "session_start_us") if c in df.columns
+    ]
+    return df.sort_values(sort_cols).reset_index(drop=True)
 
 
 def _batch_oracle() -> pd.DataFrame:
@@ -117,3 +120,60 @@ def test_watermark_gating_invariant(ray_session, tmp_path):
                 f"epoch {man['epoch']} emitted a window past watermark {prev_wm}"
             )
         prev_wm = man["cursor"]["watermark_us"]
+
+
+@pytest.mark.parametrize(
+    "kw, oracle_sql",
+    [
+        (
+            dict(window_kind="sliding", window_size_s=3600.0, slide_s=900.0),
+            """
+SELECT user_id, (epoch_us(ts)//900000000 - t.i)*900000000 AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM read_parquet('{sf}/events.parquet') CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(i)
+GROUP BY 1, 2
+""",
+        ),
+        (
+            dict(window_kind="session", gap_s=4 * 3600.0),
+            """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tu, CAST(floor(value*100+0.5) AS BIGINT) AS cents,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM read_parquet('{sf}/events.parquet')
+), f AS (SELECT user_id, tu, cents,
+         CASE WHEN prev IS NULL OR tu - prev > 14400000000 THEN 1 ELSE 0 END AS is_new FROM o),
+g AS (SELECT user_id, tu, cents,
+      SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, min(tu) AS session_start_us, max(tu) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM g GROUP BY user_id, sid
+""",
+        ),
+    ],
+    ids=["sliding", "session"],
+)
+def test_sliding_session_crash_resume_match_oracle(ray_session, tmp_path, kw, oracle_sql):
+    base = str(tmp_path / "swin_kind")
+    partial = StreamingWindowJob(_cfg(base, **kw)).run(max_epochs=2)
+    assert partial["epochs_processed"] == 2
+    StreamingWindowJob(_cfg(base, **kw)).run()
+    got = _committed_output(f"{base}/out")
+    sort_cols = [c for c in got.columns if c.endswith("_us") or c == "user_id"]
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    want = (
+        duckdb.connect()
+        .execute(oracle_sql.format(sf=SF_DIR))
+        .fetchdf()
+        .sort_values(sort_cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype({"user_id": "int64"}),
+        want.astype({"user_id": "int64"}),
+        check_dtype=False,
+    )
+    # second full run emits nothing
+    stats2 = StreamingWindowJob(_cfg(base, **kw)).run()
+    assert stats2["rows_emitted"] == 0
