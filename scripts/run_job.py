@@ -39,7 +39,23 @@ def main() -> None:
     s.add_argument("--epoch-by", choices=["ts", "arrival"], default="ts")
     s.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s):
+    w = sub.add_parser("windows")
+    w.add_argument("--input", required=True, help="events parquet file or dir")
+    w.add_argument("--work", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--kind", choices=["tumbling", "sliding", "session"], default="tumbling")
+    w.add_argument("--shards", type=int, default=8)
+    w.add_argument("--epoch-s", type=float, default=300.0)
+    w.add_argument("--window-s", type=float, default=3600.0)
+    w.add_argument("--slide-s", type=float, default=None)
+    w.add_argument("--gap-s", type=float, default=None)
+    w.add_argument("--lateness-s", type=float, default=0.0)
+    w.add_argument("--key-col", default="user_id")
+    w.add_argument("--ts-col", default="ts")
+    w.add_argument("--value-col", default="value")
+    w.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -69,6 +85,30 @@ def main() -> None:
         )
         out.write_parquet(args.out)
         print(json.dumps({"mode": "batch", "rows": ray.data.read_parquet(args.out).count()}))
+    elif args.mode == "windows":
+        from statefulstreamprocessor_ray.pipelines.streaming_windows import (
+            StreamingWindowConfig,
+            StreamingWindowJob,
+        )
+
+        wcfg = StreamingWindowConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            epoch_duration_s=args.epoch_s,
+            window_size_s=args.window_s,
+            window_kind=args.kind,
+            slide_s=args.slide_s,
+            gap_s=args.gap_s,
+            allowed_lateness_s=args.lateness_s,
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            value_col=args.value_col,
+        )
+        stats = StreamingWindowJob(wcfg).run(max_epochs=args.max_epochs)
+        stats.pop("per_epoch", None)
+        print(json.dumps({"mode": "windows", **stats}))
     else:
         from statefulstreamprocessor_ray.pipelines.streaming import (
             StreamingJoinConfig,

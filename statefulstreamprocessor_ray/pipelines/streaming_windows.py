@@ -265,7 +265,12 @@ class WindowShardActor:
         )[["n", "sum_cents"]].sum()
 
     def process_epoch(
-        self, epoch: int, epoch_dir: str | None, sink_dir: str, watermark_us: int
+        self,
+        epoch: int,
+        epoch_dir: str | None,
+        sink_dir: str,
+        watermark_us: int,
+        epoch_end_us: int | None = None,
     ) -> dict:
         sink = ExactlyOnceParquetSink(sink_dir)
         if epoch_dir is not None and os.path.isdir(epoch_dir):
@@ -275,6 +280,14 @@ class WindowShardActor:
                 mx = int(t["ts_us"].to_numpy(zero_copy_only=False).max())
                 if mx > self.frontier_us:
                     self.frontier_us = mx
+        # Idle-shard watermark advance: epochs are event-time slices, so once
+        # epoch e is processed NO future row anywhere has ts < (e+1)*span.
+        # A shard that owns no keys (or saw no rows this epoch) may therefore
+        # advance its frontier to the epoch boundary — otherwise one idle
+        # shard pins the global min-frontier watermark at -inf forever (the
+        # classic idle-partition stall).
+        if epoch_end_us is not None and epoch_end_us - 1 > self.frontier_us:
+            self.frontier_us = epoch_end_us - 1
 
         out = self._emit_closed(watermark_us)
         tbl = pa.Table.from_pandas(out, preserve_index=False)
@@ -385,6 +398,7 @@ class StreamingWindowJob:
             if epoch == flush_epoch and cfg.flush_at_end:
                 parts = ray.get([s.flush.remote(epoch, cfg.out_dir) for s in shards])
             else:
+                span_us = int(cfg.epoch_duration_s * US)
                 parts = ray.get(
                     [
                         s.process_epoch.remote(
@@ -392,6 +406,7 @@ class StreamingWindowJob:
                             os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
                             cfg.out_dir,
                             watermark,
+                            (epoch + 1) * span_us,
                         )
                         for k, s in enumerate(shards)
                     ]
