@@ -111,22 +111,30 @@ def q_tumbling_agg(sf_dir):
     ev = _events(sf_dir, columns=["user_id", "ts", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
+        """Map-side combiner: per-batch partial (n, cents) so the shuffle
+        carries one row per (user, window) per block, not one per event."""
         t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
         v = b["value"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        raw = pa.table(
             {
                 "user_id": b["user_id"],
                 "window_start_us": pa.array(t // HOUR_US * HOUR_US, pa.int64()),
                 "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()),
             }
         )
+        return raw.group_by(["user_id", "window_start_us"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
 
     return (
         ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "window_start_us"])
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .aggregate(
+            Sum("cents_count", alias_name="n"),
+            Sum("cents_sum", alias_name="sum_cents"),
+        )
     )
 
 
@@ -135,17 +143,22 @@ def q_sliding_agg(sf_dir):
     win = assign_sliding(ev, size_s=3600.0, slide_s=900.0, ts_col="ts")
 
     def prep(b: pa.Table) -> pa.Table:
-        return pa.table(
+        # map-side combiner: the 4x sliding explode collapses back to one
+        # partial row per (user, window) before the exchange
+        raw = pa.table(
             {
                 "user_id": b["user_id"],
                 "window_start_us": pc.multiply(b["window_id"], SLIDE_US),
             }
         )
+        return raw.group_by(["user_id", "window_start_us"]).aggregate(
+            [("window_start_us", "count")]
+        )
 
     return (
         win.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "window_start_us"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("window_start_us_count", alias_name="n"))
     )
 
 
