@@ -393,7 +393,30 @@ def q_lsb_join_events(sf_dir):
 
 
 def q_flagship_transcripts(sf_dir):
-    return flagship_join(transcripts_from_events(sf_dir), delta_time=3600.0)
+    """The flagship transcript join, SQL-checked end-to-end: events are
+    adapted to transcripts (same mapping as the engine's adapter, expressed
+    in SQL) and the closed-form ordered-join oracle runs over the sessionless
+    composite; Arrow's shortest-repr float formatting is matched by stripping
+    DuckDB's trailing '.0'."""
+    out = flagship_join(transcripts_from_events(sf_dir), delta_time=3600.0)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "r_ts_us": pc.cast(pc.cast(b["r_ts"], pa.timestamp("us")), pa.int64()),
+                "r_turn_idx": pc.cast(b["r_turn_idx"], pa.int64()),
+                "r_text": b["r_text"],
+                "s_ts_us": pc.cast(pc.cast(b["s_ts"], pa.timestamp("us")), pa.int64()),
+                "s_turn_idx": pc.cast(b["s_turn_idx"], pa.int64()),
+                "s_text": b["s_text"],
+                "s_tool": b["s_tool"],
+                "join_case": b["join_case"],
+                "emit_seq": b["emit_seq"],
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_lsb_join_sql(sf_dir):
@@ -421,8 +444,11 @@ def q_lsb_join_sql(sf_dir):
 
 
 def q_session_join(sf_dir):
+    """Session-bounded ordered join (assistant ⋈ tool within a session
+    window) — SQL-checked: the lsb closed form partitioned by the
+    sessionized composite key."""
     tagged = _tag_events(sf_dir)
-    return session_bounded_join(
+    out = session_bounded_join(
         tagged,
         gap_s=2 * 3600.0,
         key_col="user_id",
@@ -430,6 +456,24 @@ def q_session_join(sf_dir):
         tie_col="event_id",
         payload_cols=("event_id", "value"),
     )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "session_id": pc.cast(b["session_id"], pa.int64()),
+                "r_ts_us": pc.cast(pc.cast(b["r_ts"], pa.timestamp("us")), pa.int64()),
+                "r_event_id": pc.cast(b["r_event_id"], pa.int64()),
+                "r_value": b["r_value"],
+                "s_ts_us": pc.cast(pc.cast(b["s_ts"], pa.timestamp("us")), pa.int64()),
+                "s_event_id": pc.cast(b["s_event_id"], pa.int64()),
+                "s_value": b["s_value"],
+                "join_case": b["join_case"],
+                "emit_seq": b["emit_seq"],
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_dedup_apply(sf_dir):
@@ -773,6 +817,113 @@ SELECT user_id,
        CASE WHEN x_side=0 THEN y_val ELSE piv_val END AS s_value,
        join_case,
        CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY trig_tu, trig_id, case_rank, rnk) - 1 AS BIGINT) AS emit_seq
+FROM pairs
+""",
+    "flagship_transcripts": """
+WITH m AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS BIGINT) AS turn_idx,
+         epoch_us(ts) AS tu,
+         event_type || ':' ||
+           regexp_replace(CAST(round(value, 2) AS VARCHAR), '\\.0$', '') AS text,
+         CASE WHEN event_type = 'error' THEN 'err' END AS tool,
+         CASE WHEN event_type IN ('purchase','signup') THEN 0
+              WHEN event_type = 'error' THEN 1 END AS side
+  FROM events
+  WHERE event_type IN ('purchase','signup','error')
+), x AS (
+  SELECT *, lag(tu) OVER (PARTITION BY conv_id, side ORDER BY tu, turn_idx) AS tp FROM m
+), cand AS (
+  SELECT x.conv_id,
+         x.tu AS x_tu, x.turn_idx AS x_id, x.text AS x_text, x.tool AS x_tool,
+         x.side AS x_side, x.tp,
+         y.tu AS y_tu, y.turn_idx AS y_id, y.text AS y_text, y.tool AS y_tool,
+         row_number() OVER (PARTITION BY x.conv_id, x.turn_idx
+                            ORDER BY y.tu, y.turn_idx) AS rnk
+  FROM x JOIN m y
+    ON y.conv_id = x.conv_id AND y.side = 1 - x.side
+   AND y.tu < x.tu
+   AND (x.tp IS NULL OR y.tu > x.tp)
+), jr2 AS (
+  SELECT conv_id, x_tu AS trig_tu, x_id AS trig_id, 1 AS case_rank, rnk,
+         'JR2' AS join_case, x_side,
+         x_tu AS piv_tu, x_id AS piv_id, x_text AS piv_text, x_tool AS piv_tool,
+         y_tu, y_id, y_text, y_tool
+  FROM cand WHERE ABS(x_tu - y_tu) <= 3600000000
+), jr1 AS (
+  SELECT c.conv_id, c.x_tu AS trig_tu, c.x_id AS trig_id, 0 AS case_rank, c.rnk,
+         'JR1' AS join_case, c.x_side,
+         p.tu AS piv_tu, p.turn_idx AS piv_id, p.text AS piv_text, p.tool AS piv_tool,
+         c.y_tu, c.y_id, c.y_text, c.y_tool
+  FROM cand c JOIN m p
+    ON p.conv_id = c.conv_id AND p.side = c.x_side AND p.tu = c.tp
+  WHERE c.rnk > 1 AND ABS(p.tu - c.y_tu) <= 3600000000
+), pairs AS (
+  SELECT * FROM jr2 UNION ALL SELECT * FROM jr1
+)
+SELECT conv_id,
+       CASE WHEN x_side=0 THEN piv_tu ELSE y_tu END AS r_ts_us,
+       CAST(CASE WHEN x_side=0 THEN piv_id ELSE y_id END AS BIGINT) AS r_turn_idx,
+       CASE WHEN x_side=0 THEN piv_text ELSE y_text END AS r_text,
+       CASE WHEN x_side=0 THEN y_tu ELSE piv_tu END AS s_ts_us,
+       CAST(CASE WHEN x_side=0 THEN y_id ELSE piv_id END AS BIGINT) AS s_turn_idx,
+       CASE WHEN x_side=0 THEN y_text ELSE piv_text END AS s_text,
+       CASE WHEN x_side=0 THEN y_tool ELSE piv_tool END AS s_tool,
+       join_case,
+       CAST(row_number() OVER (PARTITION BY conv_id
+                               ORDER BY trig_tu, trig_id, case_rank, rnk) - 1 AS BIGINT) AS emit_seq
+FROM pairs
+""",
+    "session_join": """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, value,
+         CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('purchase','click')
+), s0 AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev FROM t
+), u AS (
+  SELECT user_id, tu, event_id, value, side,
+         SUM(CASE WHEN prev IS NULL OR tu - prev > 7200000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM s0
+), x AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id, sid, side ORDER BY tu, event_id) AS tp FROM u
+), cand AS (
+  SELECT x.user_id, x.sid,
+         x.tu AS x_tu, x.event_id AS x_id, x.value AS x_val, x.side AS x_side, x.tp,
+         y.tu AS y_tu, y.event_id AS y_id, y.value AS y_val,
+         row_number() OVER (PARTITION BY x.user_id, x.sid, x.event_id
+                            ORDER BY y.tu, y.event_id) AS rnk
+  FROM x JOIN u y
+    ON y.user_id = x.user_id AND y.sid = x.sid AND y.side = 1 - x.side
+   AND y.tu < x.tu
+   AND (x.tp IS NULL OR y.tu > x.tp)
+), jr2 AS (
+  SELECT user_id, sid, x_tu AS trig_tu, x_id AS trig_id, 1 AS case_rank, rnk,
+         'JR2' AS join_case, x_side, x_tu AS piv_tu, x_id AS piv_id, x_val AS piv_val,
+         y_tu, y_id, y_val
+  FROM cand
+), jr1 AS (
+  SELECT c.user_id, c.sid, c.x_tu AS trig_tu, c.x_id AS trig_id, 0 AS case_rank, c.rnk,
+         'JR1' AS join_case, c.x_side,
+         p.tu AS piv_tu, p.event_id AS piv_id, p.value AS piv_val,
+         c.y_tu, c.y_id, c.y_val
+  FROM cand c JOIN u p
+    ON p.user_id = c.user_id AND p.sid = c.sid AND p.side = c.x_side AND p.tu = c.tp
+  WHERE c.rnk > 1
+), pairs AS (
+  SELECT * FROM jr2 UNION ALL SELECT * FROM jr1
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CASE WHEN x_side=0 THEN piv_tu ELSE y_tu END AS r_ts_us,
+       CAST(CASE WHEN x_side=0 THEN piv_id ELSE y_id END AS BIGINT) AS r_event_id,
+       CASE WHEN x_side=0 THEN piv_val ELSE y_val END AS r_value,
+       CASE WHEN x_side=0 THEN y_tu ELSE piv_tu END AS s_ts_us,
+       CAST(CASE WHEN x_side=0 THEN y_id ELSE piv_id END AS BIGINT) AS s_event_id,
+       CASE WHEN x_side=0 THEN y_val ELSE piv_val END AS s_value,
+       join_case,
+       CAST(row_number() OVER (PARTITION BY user_id, sid
                                ORDER BY trig_tu, trig_id, case_rank, rnk) - 1 AS BIGINT) AS emit_seq
 FROM pairs
 """,
