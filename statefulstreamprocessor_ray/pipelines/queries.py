@@ -288,6 +288,24 @@ def _run_streaming_window_job(sf_dir: str, tag: str, **cfg_kw) -> pa.Table:
     return out
 
 
+def q_cep_absence(sf_dir):
+    """CEP absence/timeout: purchases NOT followed by an error from the same
+    user within 24h."""
+    from statefulstreamprocessor_ray.stages.cep import detect_absence
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return detect_absence(
+        ev,
+        first="purchase",
+        absent="error",
+        within_s=24 * 3600.0,
+        key_col="user_id",
+        ts_col="ts",
+        event_col="event_type",
+        tie_col="event_id",
+    )
+
+
 def q_streaming_tumbling_agg(sf_dir):
     """Full streaming windowed-aggregation job (epochs, watermark-gated
     emission, exactly-once manifests) — final output equals the batch
@@ -522,6 +540,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "cep_funnel": q_cep_funnel,
     "cep_funnel_skip": q_cep_funnel_skip,
+    "cep_absence": q_cep_absence,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "streaming_sliding_agg": q_streaming_sliding_agg,
     "streaming_session_windows": q_streaming_session_windows,
@@ -697,6 +716,19 @@ SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS window_start_us,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+    "cep_absence": """
+SELECT a.user_id, epoch_us(a.ts) AS ts_us, CAST(a.event_id AS BIGINT) AS event_id,
+       epoch_us(a.ts) + 86400000000 AS deadline_us
+FROM events a
+WHERE a.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'error'
+      AND (epoch_us(b.ts) > epoch_us(a.ts)
+           OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+  )
 """,
     "streaming_sliding_agg": """
 SELECT user_id, (epoch_us(ts)//900000000 - t.i)*900000000 AS window_start_us,

@@ -129,6 +129,126 @@ def _match_group(
     )
 
 
+def _absence_group(
+    group: pa.Table,
+    first: str,
+    absent: str,
+    within_us: int,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    tie_col: str,
+) -> pa.Table:
+    """Vectorized absence scan: rows of ``first`` with NO ``absent`` event of
+    the same key in (ts, ts + within]."""
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[
+            (key_col, "ascending"),
+            (ts_col, "ascending"),
+            (tie_col, "ascending"),
+        ],
+    )
+    g = group.take(idx).combine_chunks()
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], g[key_col].type),
+                "ts_us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "deadline_us": pa.array([], pa.int64()),
+            }
+        )
+    et = g[event_col].to_numpy(zero_copy_only=False)
+    ts = pc.cast(pc.cast(g[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    tie = g[tie_col].to_numpy(zero_copy_only=False)
+    codes = (
+        pc.dictionary_encode(g[key_col])
+        .combine_chunks()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    seg_b = np.flatnonzero(np.diff(codes) != 0) + 1
+    seg_ends = np.concatenate((seg_b, [n]))
+    row_end = np.repeat(seg_ends, np.diff(np.concatenate(([0], seg_ends))))
+
+    starts = np.flatnonzero(et == first)
+    pos = np.flatnonzero(et == absent)
+    if len(pos) == 0:
+        hit = np.zeros(len(starts), bool)
+    else:
+        nxt = np.searchsorted(pos, starts + 1)
+        in_range = nxt < len(pos)
+        cand = pos[np.minimum(nxt, len(pos) - 1)]
+        hit = (
+            in_range
+            & (cand < row_end[starts])
+            & (ts[np.minimum(cand, n - 1)] - ts[starts] <= within_us)
+        )
+    keep = starts[~hit]
+    return pa.table(
+        {
+            key_col: g[key_col].take(pa.array(keep, pa.int64())),
+            "ts_us": pa.array(ts[keep], pa.int64()),
+            "event_id": pa.array(tie[keep].astype(np.int64), pa.int64()),
+            "deadline_us": pa.array(ts[keep] + within_us, pa.int64()),
+        }
+    )
+
+
+def detect_absence(
+    ds: ray.data.Dataset,
+    first: str,
+    absent: str,
+    within_s: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tie_col: str = "event_id",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """CEP absence / timeout pattern: every ``first`` event NOT followed by an
+    ``absent`` event of the same key within ``within_s`` seconds (ties: an
+    ``absent`` at exactly ts+within still counts as followed; an ``absent`` at
+    the same (ts, tie)-order position after the trigger counts).
+
+    NOTE: on an unbounded stream this fires once the watermark passes
+    ts+within; in this batch/replay form the end of input is the horizon.
+    """
+    import ray as _ray
+
+    within_us = int(within_s * US)
+    if n_shards is None:
+        try:
+            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            n_shards = 32
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
+
+    def fn(group: pa.Table) -> pa.Table:
+        return _absence_group(
+            group.drop_columns(["_shard"]),
+            first,
+            absent,
+            within_us,
+            key_col,
+            ts_col,
+            event_col,
+            tie_col,
+        )
+
+    tagged = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_shard").map_groups(fn, batch_format="pyarrow")
+
+
 def match_sequence(
     ds: ray.data.Dataset,
     pattern: Sequence[str],

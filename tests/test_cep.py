@@ -195,3 +195,37 @@ def test_skip_differential_vs_naive_walk(ray_session):
             if ok and evs[chain[-1]][0] - evs[j0][0] <= within:
                 expect.add((u, evs[j0][1], evs[chain[-1]][1], (evs[chain[-1]][0] - evs[j0][0]) * US))
     assert out == expect and len(expect) > 0
+
+
+def test_absence_basic(ray_session):
+    from statefulstreamprocessor_ray.stages.cep import detect_absence
+
+    rows = [
+        ("u1", 1, 10, "a"),   # followed by b at 15 (within 10) -> not emitted
+        ("u1", 2, 15, "b"),
+        ("u1", 3, 100, "a"),  # next b at 150, outside 10 -> emitted
+        ("u1", 4, 150, "b"),
+        ("u2", 5, 10, "a"),   # no b for u2 at all -> emitted
+    ]
+    out = detect_absence(_ds(rows), first="a", absent="b", within_s=10.0)
+    t = out.to_pandas().sort_values("event_id")
+    assert list(t["event_id"]) == [3, 5]
+    assert list(t["deadline_us"]) == [110 * US, 20 * US]
+
+
+def test_absence_boundary_inclusive(ray_session):
+    from statefulstreamprocessor_ray.stages.cep import detect_absence
+
+    rows = [("u1", 1, 10, "a"), ("u1", 2, 20, "b")]  # exactly at within
+    out = detect_absence(_ds(rows), first="a", absent="b", within_s=10.0)
+    assert out.count() == 0  # b at ts+within counts as followed
+
+
+def test_absence_same_event_type(ray_session):
+    from statefulstreamprocessor_ray.stages.cep import detect_absence
+
+    rows = [("u1", 1, 10, "a"), ("u1", 2, 12, "a"), ("u1", 3, 100, "a")]
+    out = detect_absence(_ds(rows), first="a", absent="a", within_s=10.0)
+    # a@10 followed by a@12; a@12 not followed within 10; a@100 last
+    t = out.to_pandas().sort_values("event_id")
+    assert list(t["event_id"]) == [2, 3]
