@@ -280,6 +280,15 @@ def ordered_join_events(
             delta_us=delta_us,
         )
 
+    # prune to the columns the replay needs BEFORE the exchange — derived
+    # streams may still carry source columns (e.g. transcript `role`) that
+    # would otherwise ride the all-to-all shuffle for nothing
+    needed = list(
+        dict.fromkeys(
+            [key_col, ts_col, tie_col, "stream_side", *payload_cols]
+        )
+    )
+    events = events.select_columns(needed)
     tagged = events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_shard").map_groups(
         fn, batch_format="pyarrow", num_cpus=num_cpus
