@@ -102,14 +102,27 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
             done["fingerprint"] == fingerprint
             and done["n_shards"] == cfg.n_shards
             and done.get("epoch_by", "ts") == cfg.epoch_by
+            and done.get("columns") == sorted(
+                {cfg.spec.key_col, cfg.spec.ts_col, cfg.spec.tie_col, "stream_side",
+                 *cfg.payload_cols}
+            )
         ):
             return part_dir
 
     spec, n_shards = cfg.spec, cfg.n_shards
     span_us = int(cfg.epoch_duration_s * US)
 
+    # phase-0 writes only what the shard replay reads (key/ts/tie/side +
+    # payload): source columns like transcript `role` would otherwise be
+    # written to — and re-read from — every (shard, epoch) partition
+    keep_cols = list(
+        dict.fromkeys(
+            [spec.key_col, spec.ts_col, spec.tie_col, "stream_side", *cfg.payload_cols]
+        )
+    )
+
     def tag_and_partition(batch: pa.Table, fixed_epoch: int | None = None) -> pa.Table:
-        tagged = tag_streams_batch(batch, spec)
+        tagged = tag_streams_batch(batch, spec).select(keep_cols)
         keys = np.asarray(tagged[spec.key_col].to_pylist(), dtype=object)
         shard = (stable_key_hash(keys) % n_shards).astype(np.int32)
         if fixed_epoch is None:
@@ -157,6 +170,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
                 "fingerprint": fingerprint,
                 "n_shards": cfg.n_shards,
                 "epoch_by": cfg.epoch_by,
+                "columns": sorted(set(keep_cols)),
             },
             m,
         )
