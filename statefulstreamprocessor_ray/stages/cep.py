@@ -221,10 +221,12 @@ def detect_absence(
 
     within_us = int(within_s * US)
     if n_shards is None:
+        # 8 shards/core: see stages/join.py — low-cardinality shard keys
+        # collapse the sort shuffle's sampled partition boundaries
         try:
-            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
         except Exception:
-            n_shards = 32
+            n_shards = 64
 
     def add_shard(b: pa.Table) -> pa.Table:
         keys = b[key_col].to_pandas()
@@ -274,10 +276,12 @@ def match_sequence(
 
     within_us = int(within_s * US) if within_s is not None else None
     if n_shards is None:
+        # 8 shards/core: see stages/join.py — low-cardinality shard keys
+        # collapse the sort shuffle's sampled partition boundaries
         try:
-            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
         except Exception:
-            n_shards = 32
+            n_shards = 64
 
     def add_shard(b: pa.Table) -> pa.Table:
         keys = b[key_col].to_pandas()
