@@ -87,12 +87,21 @@ class ShingleStage:
         )
 
 
-def _bucket_pairs(keys: list[str], n_buckets: int = 64):
+def _bucket_pairs(keys: list[str], n_buckets: int | None = None):
     """Pair-emission over coarse hash buckets: shuffling thousands of tiny
     per-shingle groups through groupby().map_groups() drowns in per-group
     overhead, so we group by ``hash(key) % n_buckets`` (each bucket fully
     contains its keys) and emit all within-key pairs of a bucket in one
-    vectorized pandas pass."""
+    vectorized pandas pass. Bucket count defaults to 8x cluster CPUs — enough
+    distinct values that the sort shuffle's sampled partition boundaries stay
+    balanced (see stages/join.py), coarse enough to amortize per-group cost."""
+    if n_buckets is None:
+        try:
+            import ray as _ray
+
+            n_buckets = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+        except Exception:
+            n_buckets = 64
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = df[keys[0]].to_numpy(dtype=np.uint64)

@@ -330,10 +330,12 @@ def windowed_interpolation_join(
         win = assign_sliding(tagged, size_s, slide_s, ts_col)
 
     if n_shards is None:
+        # 8 shards/core: low-cardinality shard keys collapse the sort
+        # shuffle's sampled partition boundaries (see stages/join.py)
         try:
-            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
         except Exception:
-            n_shards = 32
+            n_shards = 64
 
     def add_shard(b: pa.Table) -> pa.Table:
         keys = b[key_col].to_pandas()
