@@ -168,6 +168,18 @@ def bench_cep(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def bench_streaming_windows(sf_dir: str) -> dict:
+    """Full streaming session-window job (epochs + watermark gating + EOS
+    manifests) over the events table."""
+    from statefulstreamprocessor_ray.pipelines.queries import (
+        q_streaming_session_windows,
+    )
+
+    t0 = time.time()
+    n = q_streaming_session_windows(sf_dir).num_rows
+    return {"sec": time.time() - t0, "rows": n}
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -193,6 +205,7 @@ def run_bench() -> dict:
         "text_stats": lambda: bench_text(SF_DIR),
         "ann_topk": lambda: bench_ann(SF_DIR),
         "cep_funnel": lambda: bench_cep(SF_DIR),
+        "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
     }
     results = {}
     for name, fn in benches.items():
