@@ -38,19 +38,51 @@ class TextAnalyzer:
         self.stop = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # .str accessor rejects dtype-less empty columns
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "n_chars_m": pd.Series([], dtype="int64"),
+                    "n_punct": pd.Series([], dtype="int64"),
+                    "pred_lang": pd.Series([], dtype="object"),
+                    "quality": pd.Series([], dtype="int64"),
+                    "fingerprint": pd.Series([], dtype="object"),
+                }
+            )
         texts = batch["text"].fillna("")
+        # explode the batch's tokens once; all per-language scores are then
+        # one np.isin + one reduceat each (no per-row Python in the loop)
         toks = texts.str.lower().str.split(self.tok)
         toks = toks.map(lambda ws: [w for w in ws if w])
-        n_tokens = toks.map(len).astype(np.int64)
-        n_chars = texts.str.len().astype(np.int64)
-        n_punct = texts.map(lambda t: len(self.punct.findall(t))).astype(np.int64)
+        counts = toks.map(len).to_numpy(np.int64)
+        flat = np.asarray(
+            [w for ws in toks for w in ws], dtype=object
+        )
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nonzero = counts > 0
 
-        scores = {
-            lang: toks.map(lambda ws, s=self.stop[lang]: sum(w in s for w in ws))
-            for lang in LANG_STOPWORDS
-        }
-        scores["zh"] = texts.map(lambda t: len(self.han.findall(t)))
-        score_mat = np.column_stack([scores[l].values for l in LANG_ORDER])
+        def seg_sum(mask: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(counts), np.int64)
+            if mask.size and nonzero.any():
+                out[nonzero] = np.add.reduceat(
+                    mask.astype(np.int64), starts[nonzero]
+                )
+            return out
+
+        n_tokens = counts
+        n_chars = texts.str.len().to_numpy(np.int64)
+        n_punct = texts.str.count(PUNCT_CLASS).to_numpy(np.int64)
+
+        score_cols = []
+        for lang in LANG_ORDER:
+            if lang == "zh":
+                score_cols.append(texts.str.count(self.han).to_numpy(np.int64))
+            else:
+                score_cols.append(
+                    seg_sum(np.isin(flat, list(self.stop[lang])))
+                )
+        score_mat = np.column_stack(score_cols)
         pred = np.array(LANG_ORDER)[np.argmax(score_mat, axis=1)]  # ties -> order
 
         # integer quality score 0..3: token-count band, punct sanity, length band
