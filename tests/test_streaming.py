@@ -119,3 +119,46 @@ def test_manifest_lineage(tmp_path):
         assert {p["shard"] for p in m["parts"]} == set(range(cfg.n_shards))
         assert m["cursor"]["epoch"] == e
         assert "watermark_us" in m["cursor"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_between_staging_and_commit(tmp_path):
+    """The acknowledged crash window: part files staged for an epoch whose
+    manifest never committed (including corrupt partial files) must be
+    invisible to readers and harmlessly overwritten on resume."""
+    import json
+
+    input_path = _corpus(tmp_path)
+    cfg = _cfg(tmp_path, input_path, "stagecrash")
+    partial = StreamingJoinJob(cfg).run(max_epochs=2)
+    sink = ExactlyOnceParquetSink(cfg.out_dir)
+    committed_before = sink.committed_epochs()
+    assert len(committed_before) == 2
+
+    # simulate a crash mid-staging of the NEXT epoch: a stale valid part and
+    # a corrupt half-written part land in staging with no manifest
+    part_dir = partition_input(cfg)
+    next_epoch = committed_before[-1] + 1
+    d = sink.stage_dir(next_epoch)
+    with open(os.path.join(d, "part-shard0000.parquet"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE")  # corrupt
+    with open(os.path.join(d, "part-zombie.parquet"), "wb") as f:
+        f.write(b"\x00" * 128)
+
+    # staged-but-uncommitted data is invisible
+    assert sink.committed_row_count() == partial["rows_emitted"]
+
+    resumed = StreamingJoinJob(cfg).run()
+    clean = _cfg(tmp_path, input_path, "stagecrash_clean")
+    StreamingJoinJob(clean).run()
+    a = ExactlyOnceParquetSink(cfg.out_dir).read_committed().to_pandas()
+    b = ExactlyOnceParquetSink(clean.out_dir).read_committed().to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+    # the zombie file is not referenced by any manifest
+    all_files = {
+        p["file"]
+        for e in ExactlyOnceParquetSink(cfg.out_dir).committed_epochs()
+        for p in ExactlyOnceParquetSink(cfg.out_dir).manifest(e)["parts"]
+    }
+    assert not any("zombie" in f for f in all_files)
