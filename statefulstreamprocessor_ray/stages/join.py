@@ -322,8 +322,18 @@ def salted_hot_key_join(
        (vectorized; no replay here),
     2. shuffle by (key, chunk): each chunk replays independently, keeping only
        pairs triggered by non-warm-up rows,
-    3. per key: rank pairs by (chunk, local emission order) -> exact global
-       ``emit_seq``; this last pass touches only the pairs, not the events.
+    3. exact global ``emit_seq`` from per-(key, chunk) pair-count prefix sums
+       broadcast to a stateless map — no per-key gather of the output (the
+       former rank-per-key pass would hold a 10^9-pair key in one task).
+
+    Crossover note (measured): the vectorized replay runs ~10M rows/s/core,
+    so a key only bottlenecks its shard once its rows rival (total rows /
+    shards) x ~constant — on one node, salting an 8M-row hot key among 10M
+    total LOSES (extra count pass + two filter scans + the step-1 per-key
+    planning gather outweigh the serial replay it removes). Enable
+    ``hot_key_threshold`` for 10^8+-row keys or expensive ``join_fn``s, where
+    serial replay minutes dominate; the step-1 planning gather (one sort of
+    the key's events) is then the remaining serial term.
     """
     from statefulstreamprocessor_ray.state.vectorized import (
         carry_start,
@@ -390,21 +400,64 @@ def salted_hot_key_join(
         cols["_local_seq"] = pa.array(np.arange(len(l), dtype=np.int64))
         return pa.table(cols)
 
-    def assign_seq(pairs: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            pairs, sort_keys=[("_chunk", "ascending"), ("_local_seq", "ascending")]
-        )
-        pairs = pairs.take(idx)
-        pairs = pairs.drop_columns(["_chunk", "_local_seq"])
-        return pairs.append_column(
-            "emit_seq", pa.array(np.arange(pairs.num_rows, dtype=np.int64))
-        )
-
     planned = hot_events.groupby(key_col).map_groups(plan_chunks, batch_format="pyarrow")
     chunked = planned.groupby([key_col, "_chunk"]).map_groups(
         replay_chunk, batch_format="pyarrow"
+    ).materialize()  # consumed twice: per-chunk counts, then seq assignment
+
+    # exact global emit_seq WITHOUT gathering a key's pairs into one task:
+    # per-(key, chunk) pair counts are a tiny aggregate; their prefix sums are
+    # each chunk's emit_seq offset, broadcast once and added per batch.
+    import pandas as pd
+    import ray as _ray
+
+    def _counts(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"k": b[key_col].to_pandas(), "c": b["_chunk"].to_pandas()}
+        )
+        vc = df.groupby(["k", "c"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "k": pa.array(vc["k"]),
+                "c": pa.array(vc["c"], pa.int64()),
+                "n": pa.array(vc["n"], pa.int64()),
+            }
+        )
+
+    counts = (
+        chunked.map_batches(_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["k", "c"], sort=True)["n"]
+        .sum()
+        .reset_index()
     )
-    return chunked.groupby(key_col).map_groups(assign_seq, batch_format="pyarrow")
+    counts["offset"] = counts.groupby("k")["n"].cumsum() - counts["n"]
+    offsets = {
+        (k, int(c)): int(o)
+        for k, c, o in zip(counts["k"], counts["c"], counts["offset"])
+    }
+    ref = _ray.put(offsets)
+
+    def add_seq(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            out = b.drop_columns(["_chunk", "_local_seq"])
+            return out.append_column("emit_seq", pa.array([], pa.int64()))
+        offs = _ray.get(ref)
+        cs = b["_chunk"].to_numpy(zero_copy_only=False)
+        ls = b["_local_seq"].to_numpy(zero_copy_only=False)
+        k0, kN = b[key_col][0].as_py(), b[key_col][b.num_rows - 1].as_py()
+        if k0 == kN and cs[0] == cs[-1]:
+            # fast path: map_groups emits one (key, chunk) per block
+            base = np.full(b.num_rows, offs[(k0, int(cs[0]))], np.int64)
+        else:
+            ks = b[key_col].to_pylist()
+            base = np.fromiter(
+                (offs[(k, int(c))] for k, c in zip(ks, cs)), np.int64, len(ks)
+            )
+        out = b.drop_columns(["_chunk", "_local_seq"])
+        return out.append_column("emit_seq", pa.array(base + ls, pa.int64()))
+
+    return chunked.map_batches(add_seq, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def session_bounded_join(
