@@ -177,3 +177,84 @@ def test_sliding_session_crash_resume_match_oracle(ray_session, tmp_path, kw, or
     # second full run emits nothing
     stats2 = StreamingWindowJob(_cfg(base, **kw)).run()
     assert stats2["rows_emitted"] == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    epoch_s=st.sampled_from([7.0, 13.0, 50.0, 1000.0]),
+    gap_s=st.sampled_from([3.0, 10.0]),
+)
+def test_session_merge_differential(ray_session, tmp_path_factory, seed, epoch_s, gap_s):
+    """Random corpora + random epoch slicing: streaming session output must
+    equal single-pass sessionization regardless of where epochs cut."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for u in range(4):
+        t = float(rng.integers(0, 20))
+        for _ in range(int(rng.integers(3, 40))):
+            t += float(rng.integers(1, 15))
+            rows.append((u, t, float(rng.integers(0, 100))))
+    base = tmp_path_factory.mktemp(f"sessdiff{seed}")
+    src = str(base / "in"); os.makedirs(src, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([int(r[1] * 1e6) for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        f"{src}/p.parquet",
+    )
+    cfg = StreamingWindowConfig(
+        input_path=src,
+        work_dir=str(base / "w"),
+        out_dir=str(base / "o"),
+        n_shards=2,
+        epoch_duration_s=epoch_s,
+        window_kind="session",
+        gap_s=gap_s,
+    )
+    StreamingWindowJob(cfg).run()
+    got = _committed_output(str(base / "o"))
+
+    # single-pass oracle
+    import pandas as pd
+
+    expect = []
+    by_u = {}
+    for u, t, v in rows:
+        by_u.setdefault(u, []).append((t, v))
+    for u, evs in by_u.items():
+        evs.sort()
+        cur = None
+        for t, v in evs:
+            cents = int(np.floor(v * 100 + 0.5))
+            if cur is None or t - cur[1] > gap_s:
+                if cur:
+                    expect.append((u, *cur))
+                cur = [t, t, 1, cents]
+            else:
+                cur[1] = t
+                cur[2] += 1
+                cur[3] += cents
+        if cur:
+            expect.append((u, *cur))
+    want = pd.DataFrame(
+        expect, columns=["user_id", "s", "e", "n", "sum_cents"]
+    )
+    want["session_start_us"] = (want.pop("s") * 1e6).astype("int64")
+    want["session_end_us"] = (want.pop("e") * 1e6).astype("int64")
+    want = want[["user_id", "session_start_us", "session_end_us", "n", "sum_cents"]]
+    want = want.sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype("int64"), want.astype("int64")
+    )
