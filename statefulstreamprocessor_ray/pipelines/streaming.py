@@ -255,6 +255,9 @@ class JoinShardActor:
             sorted_replay_pairs,
         )
 
+        import time as _time
+
+        t_start = _time.monotonic()
         sink = ExactlyOnceParquetSink(sink_dir)
         n_late = n_viol = 0
         new_tbl = None
@@ -381,6 +384,9 @@ class JoinShardActor:
         part["n_carry_rows"] = self.carry.num_rows if self.carry is not None else 0
         part["late_rows"] = n_late
         part["order_violations"] = n_viol
+        # per-partition latency metric (north-rule lineage: throughput/latency
+        # per partition per epoch lives in the committed manifest)
+        part["wall_ms"] = round((_time.monotonic() - t_start) * 1000, 1)
         return part
 
     def _pairs_to_table(self, combined: pa.Table, l, r, c) -> pa.Table:

@@ -272,6 +272,9 @@ class WindowShardActor:
         watermark_us: int,
         epoch_end_us: int | None = None,
     ) -> dict:
+        import time as _time
+
+        t_start = _time.monotonic()
         sink = ExactlyOnceParquetSink(sink_dir)
         if epoch_dir is not None and os.path.isdir(epoch_dir):
             t = pq.read_table(epoch_dir, columns=[self.key_col, "ts_us", self.value_col])
@@ -300,6 +303,7 @@ class WindowShardActor:
         part_info["shard"] = self.shard_id
         part_info["max_ts_us"] = self.frontier_us
         part_info["n_open_windows"] = 0 if self.open is None else len(self.open)
+        part_info["wall_ms"] = round((_time.monotonic() - t_start) * 1000, 1)
         return part_info
 
     def flush(self, epoch: int, sink_dir: str) -> dict:
