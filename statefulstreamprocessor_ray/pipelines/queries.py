@@ -306,6 +306,65 @@ def q_cep_absence(sf_dir):
     )
 
 
+def _run_streaming_cep(sf_dir: str, tag: str, **cfg_kw) -> pa.Table:
+    import glob
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_cep import (
+        StreamingCepConfig,
+        StreamingCepJob,
+    )
+
+    base = f"/tmp/ssp_q_scep_{tag}_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = StreamingCepConfig(
+        input_path=f"{sf_dir}/events.parquet",
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=4,
+        epoch_duration_s=2 * 24 * 3600.0,
+        **cfg_kw,
+    )
+    StreamingCepJob(cfg).run()
+    parts = []
+    for m in sorted(glob.glob(f"{base}/out/_manifests/*.json")):
+        for part in json.load(open(m))["parts"]:
+            if part["rows"]:
+                parts.append(pq.read_table(part["file"]))
+    out = pa.concat_tables(parts) if parts else None
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def q_streaming_cep_funnel(sf_dir):
+    """The strict-contiguity funnel evaluated INCREMENTALLY (carry = last L-1
+    rows per key, exactly-once epochs) — same output as the batch operator,
+    same SQL oracle."""
+    return _run_streaming_cep(
+        sf_dir,
+        "strict",
+        mode="sequence",
+        pattern=("view", "click", "purchase"),
+        contiguity="strict",
+        within_s=48 * 3600.0,
+    )
+
+
+def q_streaming_cep_absence(sf_dir):
+    """Absence/timeout pattern evaluated incrementally: pending As fire once
+    the watermark passes their deadline un-killed."""
+    return _run_streaming_cep(
+        sf_dir,
+        "absence",
+        mode="absence",
+        pattern=("purchase", "error"),
+        within_s=24 * 3600.0,
+    )
+
+
 def q_streaming_tumbling_agg(sf_dir):
     """Full streaming windowed-aggregation job (epochs, watermark-gated
     emission, exactly-once manifests) — final output equals the batch
@@ -541,6 +600,8 @@ QUERIES = {
     "cep_funnel": q_cep_funnel,
     "cep_funnel_skip": q_cep_funnel_skip,
     "cep_absence": q_cep_absence,
+    "streaming_cep_funnel": q_streaming_cep_funnel,
+    "streaming_cep_absence": q_streaming_cep_absence,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "streaming_sliding_agg": q_streaming_sliding_agg,
     "streaming_session_windows": q_streaming_session_windows,
@@ -730,6 +791,10 @@ WHERE a.event_type = 'purchase'
       AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
   )
 """,
+    # streaming CEP variants produce identical final outputs to the batch
+    # operators; same oracles
+    "streaming_cep_funnel": None,  # filled below
+    "streaming_cep_absence": None,  # filled below
     "streaming_sliding_agg": """
 SELECT user_id, (epoch_us(ts)//900000000 - t.i)*900000000 AS window_start_us,
        CAST(count(*) AS BIGINT) AS n,
@@ -1042,3 +1107,7 @@ WITH e AS (
 SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
 """,
 }
+
+
+ORACLE_SQL["streaming_cep_funnel"] = ORACLE_SQL["cep_funnel"]
+ORACLE_SQL["streaming_cep_absence"] = ORACLE_SQL["cep_absence"]
