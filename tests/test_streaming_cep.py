@@ -117,3 +117,74 @@ def test_streaming_cep_crash_resume(ray_session, tmp_path, name, scfg, bkw):
             got[sorted(want.columns)].astype("int64"),
             want[sorted(want.columns)].astype("int64"),
         )
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    epoch_s=st.sampled_from([5.0, 17.0, 400.0]),
+    mode_i=st.integers(0, 2),
+)
+def test_streaming_cep_differential(ray_session, tmp_path_factory, seed, epoch_s, mode_i):
+    """Random corpora + random epoch cuts: every streaming CEP mode must equal
+    its batch operator regardless of where epochs slice the stream."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.cep import detect_absence, match_sequence
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = float(rng.integers(0, 10))
+        for _ in range(int(rng.integers(5, 60))):
+            t += float(rng.integers(1, 9))
+            eid += 1
+            rows.append((u, eid, t, str(rng.choice(["a", "b", "c", "x"]))))
+    base = tmp_path_factory.mktemp(f"cepdiff{seed}_{mode_i}")
+    src = str(base / "in")
+    os.makedirs(src, exist_ok=True)
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([int(r[2] * 1e6) for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{src}/p.parquet")
+
+    modes = [
+        (dict(mode="sequence", pattern=("a", "b"), contiguity="strict", within_s=30.0),
+         lambda ds: match_sequence(ds, ["a", "b"], within_s=30.0, contiguity="strict")),
+        (dict(mode="sequence", pattern=("a", "b", "c"), contiguity="skip", within_s=25.0),
+         lambda ds: match_sequence(ds, ["a", "b", "c"], within_s=25.0, contiguity="skip")),
+        (dict(mode="absence", pattern=("a", "b"), within_s=12.0),
+         lambda ds: detect_absence(ds, "a", "b", within_s=12.0)),
+    ]
+    scfg, batch_fn = modes[mode_i]
+    cfg = StreamingCepConfig(
+        input_path=src,
+        work_dir=str(base / "w"),
+        out_dir=str(base / "o"),
+        n_shards=2,
+        epoch_duration_s=epoch_s,
+        **scfg,
+    )
+    StreamingCepJob(cfg).run()
+    got = _committed(str(base / "o"))
+    ds = ray.data.read_parquet(f"{src}/p.parquet")
+    want = batch_fn(ds).to_pandas()
+    want = want.sort_values(sorted(want.columns)).reset_index(drop=True)
+    assert len(got) == len(want)
+    if len(want):
+        pd.testing.assert_frame_equal(
+            got[sorted(want.columns)].astype("int64"),
+            want[sorted(want.columns)].astype("int64"),
+        )
