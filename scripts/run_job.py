@@ -55,7 +55,24 @@ def main() -> None:
     w.add_argument("--value-col", default="value")
     w.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w):
+    cp = sub.add_parser("cep")
+    cp.add_argument("--input", required=True, help="events parquet file or dir")
+    cp.add_argument("--work", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--cep-mode", choices=["sequence", "absence"], default="sequence")
+    cp.add_argument("--pattern", nargs="+", required=True,
+                    help="sequence steps, or FIRST ABSENT for absence mode")
+    cp.add_argument("--contiguity", choices=["strict", "skip"], default="strict")
+    cp.add_argument("--within-s", type=float, default=None)
+    cp.add_argument("--shards", type=int, default=8)
+    cp.add_argument("--epoch-s", type=float, default=300.0)
+    cp.add_argument("--key-col", default="user_id")
+    cp.add_argument("--ts-col", default="ts")
+    cp.add_argument("--event-col", default="event_type")
+    cp.add_argument("--tie-col", default="event_id")
+    cp.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -85,6 +102,30 @@ def main() -> None:
         )
         out.write_parquet(args.out)
         print(json.dumps({"mode": "batch", "rows": ray.data.read_parquet(args.out).count()}))
+    elif args.mode == "cep":
+        from statefulstreamprocessor_ray.pipelines.streaming_cep import (
+            StreamingCepConfig,
+            StreamingCepJob,
+        )
+
+        ccfg = StreamingCepConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            mode=args.cep_mode,
+            pattern=tuple(args.pattern),
+            contiguity=args.contiguity,
+            within_s=args.within_s,
+            n_shards=args.shards,
+            epoch_duration_s=args.epoch_s,
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            event_col=args.event_col,
+            tie_col=args.tie_col,
+        )
+        stats = StreamingCepJob(ccfg).run(max_epochs=args.max_epochs)
+        stats.pop("per_epoch", None)
+        print(json.dumps({"mode": "cep", **stats}))
     elif args.mode == "windows":
         from statefulstreamprocessor_ray.pipelines.streaming_windows import (
             StreamingWindowConfig,
