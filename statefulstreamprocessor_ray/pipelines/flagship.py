@@ -32,6 +32,14 @@ def flagship_join(
     transcripts: ray.data.Dataset,
     delta_time: float | None = None,
     spec: StreamSpec | None = None,
+    max_join_cnt: int | None = None,
 ) -> ray.data.Dataset:
+    """``max_join_cnt`` is the reference's MAX_JOIN_CNT early-stop
+    (``ts_join_with_kafka_eos.py:32,166-169``) — Ray Data's ``limit`` stops
+    the streaming executor once k joined rows exist (backpressure cancels
+    upstream work, so this is a real early-stop, not a post-filter)."""
     joined = ordered_join(transcripts, spec=spec, delta_time=delta_time)
-    return joined.select_columns(T3_COLUMNS)
+    out = joined.select_columns(T3_COLUMNS)
+    if max_join_cnt is not None:
+        out = out.limit(max_join_cnt)
+    return out

@@ -119,3 +119,18 @@ def test_flagship_deterministic_across_runs(tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+def test_flagship_max_join_cnt(ray_session):
+    """Reference MAX_JOIN_CNT early-stop (ts_join_with_kafka_eos.py:32)."""
+    from statefulstreamprocessor_ray import fixtures
+    from statefulstreamprocessor_ray.pipelines.flagship import flagship_join
+    import ray.data
+
+    tbl = fixtures.transcripts_table(n_convs=20, turns_per_conv=50, seed=2)
+    ds = ray.data.from_arrow(tbl)
+    full = flagship_join(ds, delta_time=60.0).count()
+    assert full > 10
+    capped = flagship_join(ds, delta_time=60.0, max_join_cnt=10)
+    assert capped.count() == 10
+    assert flagship_join(ds, delta_time=60.0, max_join_cnt=10**9).count() == full
