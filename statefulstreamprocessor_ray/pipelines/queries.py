@@ -443,6 +443,32 @@ def q_multimodal_decode(sf_dir):
     return multimodal.decode_media(with_payload, mode="fake")
 
 
+def q_multimodal_pipeline(sf_dir):
+    """Full multimodal chain: attach binary -> decode -> resize -> frame
+    sample (1->N explode) -> feature extract; actor-pool stages with small
+    batches, deterministic fakes in the codec slots."""
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    ds = multimodal.attach_binary_payload(docs)
+    ds = multimodal.decode_media(ds, mode="fake")
+    ds = ds.map_batches(
+        multimodal.ResizeStage,
+        fn_constructor_kwargs={"target_w": 32},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        multimodal.FrameSampleStage(step=2), batch_format="pyarrow", batch_size=256
+    )
+    ds = ds.map_batches(
+        multimodal.FeatureExtractStage(), batch_format="pyarrow", batch_size=256
+    )
+    return ds.select_columns(
+        ["doc_id", "out_w", "out_h", "frame_idx", "f0", "f1", "f2", "f3"]
+    )
+
+
 def q_embedding_dup(sf_dir):
     # synthetic embeddings are near-orthogonal; 0.4 marks the "near-dup" tail
     return dedup.embedding_dup_pairs(_embeddings(sf_dir), threshold=0.4)
@@ -609,6 +635,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_pipeline": q_multimodal_pipeline,
     "embedding_dup": q_embedding_dup,
     "ann_topk": q_ann_topk,
     "lsb_join_events": q_lsb_join_events,
@@ -1063,6 +1090,30 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((octet_length(encode(coalesce(text,'')))//64) % 64 AS BIGINT) AS height,
        CAST(octet_length(encode(coalesce(text,''))) % 7 + 1 AS BIGINT) AS n_frames
 FROM documents
+""",
+    "multimodal_pipeline": """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         octet_length(encode(coalesce(text,''))) AS n_bytes,
+         octet_length(encode(coalesce(text,''))) % 64 AS width,
+         (octet_length(encode(coalesce(text,'')))//64) % 64 AS height,
+         octet_length(encode(coalesce(text,''))) % 7 + 1 AS n_frames
+  FROM documents
+), r AS (
+  SELECT *, CAST(32 AS BIGINT) AS out_w,
+         CAST(GREATEST(1, height * 32 // GREATEST(width, 1)) AS BIGINT) AS out_h
+  FROM d
+), f AS (
+  SELECT doc_id, out_w, out_h, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx,
+         n_bytes
+  FROM r
+)
+SELECT doc_id, out_w, out_h, frame_idx,
+       round(CAST((n_bytes * 131) % 997 AS DOUBLE)/997.0, 6) AS f0,
+       round(CAST((n_bytes * 313) % 997 AS DOUBLE)/997.0, 6) AS f1,
+       round(CAST((n_bytes * 757) % 997 AS DOUBLE)/997.0, 6) AS f2,
+       round(CAST((n_bytes * 991) % 997 AS DOUBLE)/997.0, 6) AS f3
+FROM f
 """,
     # cosine oracles in explicit DOUBLE math (DuckDB's list_cosine_similarity
     # runs in float32); engine and oracle round to 6 dp before compare/rank.
