@@ -449,13 +449,16 @@ def q_multimodal_pipeline(sf_dir):
     batches, deterministic fakes in the codec slots."""
     docs = _documents(sf_dir, columns=["doc_id", "text"])
     ds = multimodal.attach_binary_payload(docs)
-    ds = multimodal.decode_media(ds, mode="fake")
+    # concurrency=1 per actor stage: TWO chained actor pools at concurrency=2
+    # reserve 4 CPUs and starve their own producer tasks in small sessions
+    # (deadlocks a 4-CPU Ray session; see text.py's sizing note)
+    ds = multimodal.decode_media(ds, mode="fake", concurrency=1)
     ds = ds.map_batches(
         multimodal.ResizeStage,
         fn_constructor_kwargs={"target_w": 32},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=1,
         num_cpus=1,
     )
     ds = ds.map_batches(
