@@ -80,6 +80,12 @@ class StreamingJoinConfig:
     # evictions (lossy for pairs that would have reached across the evicted
     # history — which a set delta_time would drop anyway). Off by default.
     max_carry_rows_per_shard: int | None = None
+    # The reference's ``join_function`` hook in its STREAMING loop
+    # (ts_join_with_kafka_eos.py:86-106, passed at :120-123): a batch UDF
+    # applied to each epoch's joined rows before staging — e.g.
+    # functions.ops.power_join_projection. Must be picklable (it ships to the
+    # shard actors once, at construction).
+    join_fn: object | None = None
 
 
 def partition_input(cfg: StreamingJoinConfig) -> str:
@@ -208,6 +214,7 @@ class JoinShardActor:
         self.payload_cols = list(cfg_dict["payload_cols"])
         self.delta_us = cfg_dict["delta_us"]
         self.max_carry_rows = cfg_dict.get("max_carry_rows")
+        self.join_fn = cfg_dict.get("join_fn")
         self.carry: pa.Table | None = None
         self.ckpt = CheckpointStore(ckpt_dir)
         self.counters = {"ingested": 0, "joined": 0}
@@ -369,6 +376,8 @@ class JoinShardActor:
         else:
             out = self._empty_out()
 
+        if self.join_fn is not None:
+            out = self.join_fn(out)  # reference join_function hook, per epoch
         part = sink.stage_part(epoch, f"shard{self.shard_id:04d}", out)
         self.ckpt.save(
             self.shard_id,
@@ -446,6 +455,7 @@ class StreamingJoinJob:
             "payload_cols": cfg.payload_cols,
             "delta_us": int(cfg.delta_time * US) if cfg.delta_time else None,
             "max_carry_rows": cfg.max_carry_rows_per_shard,
+            "join_fn": cfg.join_fn,
         }
         # actor-pool spin-up + checkpoint restore run concurrently with the
         # phase-0 partition pass (neither depends on the partition layout)

@@ -162,3 +162,42 @@ def test_crash_between_staging_and_commit(tmp_path):
         for p in ExactlyOnceParquetSink(cfg.out_dir).manifest(e)["parts"]
     }
     assert not any("zombie" in f for f in all_files)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_join_fn_matches_batch(tmp_path):
+    """The reference's join_function hook in the STREAMING loop
+    (ts_join_with_kafka_eos.py:86-106): a custom batch projection applied per
+    epoch must equal the batch path with the same JoinSpec.join_fn."""
+    import ray.data
+
+    from statefulstreamprocessor_ray.functions.ops import power_join_projection
+    from statefulstreamprocessor_ray.stages.join import JoinSpec, ordered_join
+
+    input_path = _corpus(tmp_path)
+
+    def proj(b):
+        return power_join_projection(b, left_col="r_text", right_col="s_text")
+
+    # texts aren't numeric: project on turn_idx instead (any numeric payload)
+    def proj_idx(b):
+        return power_join_projection(b, left_col="r_turn_idx", right_col="s_turn_idx")
+
+    cfg = _cfg(tmp_path, input_path, "joinfn")
+    cfg.join_fn = proj_idx
+    StreamingJoinJob(cfg).run()
+    got = (
+        ExactlyOnceParquetSink(cfg.out_dir).read_committed().to_pandas()
+    )
+
+    batch = ordered_join(
+        ray.data.read_parquet(input_path),
+        delta_time=cfg.delta_time,
+        join_spec=JoinSpec(join_fn=proj_idx),
+    ).to_pandas()
+
+    cols = sorted(set(got.columns) & set(batch.columns))
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
