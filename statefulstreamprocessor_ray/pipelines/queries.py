@@ -32,6 +32,18 @@ from statefulstreamprocessor_ray.stages.windows import (
 )
 from statefulstreamprocessor_ray.pipelines.flagship import flagship_join
 
+
+def _workspace(prefix: str, tag: str, sf_dir: str) -> str:
+    """Per-run scratch dir under /tmp. The corpus part is a STABLE digest of
+    sf_dir (Python's hash() is salted per process), and the PID suffix keeps
+    two concurrent runs over the same corpus from rmtree-ing each other's
+    in-flight job state."""
+    import hashlib
+    import os
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/ssp_q_{prefix}_{tag}_{digest}_{os.getpid()}"
+
 US = 1_000_000
 HOUR_US = 3_600 * US
 SLIDE_US = 900 * US
@@ -267,7 +279,7 @@ def _run_streaming_window_job(sf_dir: str, tag: str, **cfg_kw) -> pa.Table:
         StreamingWindowJob,
     )
 
-    base = f"/tmp/ssp_q_swin_{tag}_{abs(hash(sf_dir)) % 10**8}"
+    base = _workspace("swin", tag, sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     cfg = StreamingWindowConfig(
         input_path=f"{sf_dir}/events.parquet",
@@ -318,7 +330,7 @@ def _run_streaming_cep(sf_dir: str, tag: str, **cfg_kw) -> pa.Table:
         StreamingCepJob,
     )
 
-    base = f"/tmp/ssp_q_scep_{tag}_{abs(hash(sf_dir)) % 10**8}"
+    base = _workspace("scep", tag, sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     cfg = StreamingCepConfig(
         input_path=f"{sf_dir}/events.parquet",

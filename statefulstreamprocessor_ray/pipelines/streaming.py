@@ -467,9 +467,12 @@ class StreamingJoinJob:
 
         part_dir = partition_input(cfg)
         epochs = list_epochs(part_dir)
-        assert committed == epochs[: len(committed)], (
-            "manifest set must be a prefix of the epoch sequence"
-        )
+        if committed != epochs[: len(committed)]:
+            # explicit raise (not assert): exactly-once guard, survives -O
+            raise RuntimeError(
+                "manifest set must be a prefix of the epoch sequence: "
+                f"committed={committed} epochs={epochs}"
+            )
 
         restored = ray.get(restore_refs)
         if last_committed >= 0 and any(r != last_committed for r in restored):

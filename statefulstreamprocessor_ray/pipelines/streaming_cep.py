@@ -95,13 +95,23 @@ def partition_cep_input(cfg: StreamingCepConfig) -> str:
     else:
         files = [cfg.input_path]
     fingerprint = [[f, os.path.getsize(f)] for f in files]
+    span_us = int(cfg.epoch_duration_s * US)
+    # span_us + column names are part of the layout identity (see
+    # streaming_windows.partition_window_input): a stale layout under a
+    # different epoch span would inflate the frontier, silently dropping
+    # epoch-spanning matches and over-truncating the skip-mode carry
+    layout = {
+        "fingerprint": fingerprint,
+        "n_shards": cfg.n_shards,
+        "span_us": span_us,
+        "columns": [cfg.key_col, cfg.ts_col, cfg.event_col, cfg.tie_col],
+    }
     if os.path.exists(marker):
         with open(marker) as m:
             done = json.load(m)
-        if done["fingerprint"] == fingerprint and done["n_shards"] == cfg.n_shards:
+        if all(done.get(k) == v for k, v in layout.items()):
             return part_dir
 
-    span_us = int(cfg.epoch_duration_s * US)
     n_shards = cfg.n_shards
     key_col, ts_col, event_col, tie_col = (
         cfg.key_col,
@@ -141,7 +151,7 @@ def partition_cep_input(cfg: StreamingCepConfig) -> str:
     shutil.rmtree(part_dir, ignore_errors=True)
     os.replace(tmp, part_dir)
     with open(marker, "w") as m:
-        json.dump({"fingerprint": fingerprint, "n_shards": cfg.n_shards}, m)
+        json.dump(layout, m)
     return part_dir
 
 
@@ -450,7 +460,12 @@ class StreamingCepJob:
         )
         flush_epoch = (epochs[-1] + 1) if epochs else 0
         all_epochs = epochs + ([flush_epoch] if cfg.flush_at_end else [])
-        assert committed == all_epochs[: len(committed)]
+        if committed != all_epochs[: len(committed)]:
+            # explicit raise (not assert): exactly-once guard, survives -O
+            raise RuntimeError(
+                "manifest set must be a prefix of the epoch sequence: "
+                f"committed={committed} epochs={all_epochs}"
+            )
         restored = ray.get(restore_refs)
         if last_committed >= 0 and any(r != last_committed for r in restored):
             raise RuntimeError(

@@ -77,13 +77,24 @@ def partition_window_input(cfg: StreamingWindowConfig) -> str:
     else:
         files = [cfg.input_path]
     fingerprint = [[f, os.path.getsize(f)] for f in files]
+    span_us = int(cfg.epoch_duration_s * US)
+    # span_us and the column names are part of the layout identity: a reused
+    # work_dir with a different epoch duration (or key/ts/value cols) would
+    # otherwise silently serve epochs laid out under the OLD span while
+    # frontier advances use the new one — watermarks jump past pending events
+    # and windows emit early / twice
+    layout = {
+        "fingerprint": fingerprint,
+        "n_shards": cfg.n_shards,
+        "span_us": span_us,
+        "columns": [cfg.key_col, cfg.ts_col, cfg.value_col],
+    }
     if os.path.exists(marker):
         with open(marker) as m:
             done = json.load(m)
-        if done["fingerprint"] == fingerprint and done["n_shards"] == cfg.n_shards:
+        if all(done.get(k) == v for k, v in layout.items()):
             return part_dir
 
-    span_us = int(cfg.epoch_duration_s * US)
     n_shards = cfg.n_shards
     key_col, ts_col, value_col = cfg.key_col, cfg.ts_col, cfg.value_col
 
@@ -117,7 +128,7 @@ def partition_window_input(cfg: StreamingWindowConfig) -> str:
     shutil.rmtree(part_dir, ignore_errors=True)
     os.replace(tmp, part_dir)
     with open(marker, "w") as m:
-        json.dump({"fingerprint": fingerprint, "n_shards": cfg.n_shards}, m)
+        json.dump(layout, m)
     return part_dir
 
 
@@ -368,9 +379,13 @@ class StreamingWindowJob:
         )
         flush_epoch = (epochs[-1] + 1) if epochs else 0
         all_epochs = epochs + ([flush_epoch] if cfg.flush_at_end else [])
-        assert committed == all_epochs[: len(committed)], (
-            "manifest set must be a prefix of the epoch sequence"
-        )
+        if committed != all_epochs[: len(committed)]:
+            # explicit raise (not assert): this is an exactly-once guard and
+            # must survive `python -O`
+            raise RuntimeError(
+                "manifest set must be a prefix of the epoch sequence: "
+                f"committed={committed} epochs={all_epochs}"
+            )
         restored = ray.get(restore_refs)
         if last_committed >= 0 and any(r != last_committed for r in restored):
             raise RuntimeError(

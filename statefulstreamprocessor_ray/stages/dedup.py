@@ -10,13 +10,30 @@
 - SimHash near-dup: 64-bit simhash + banded blocking, Hamming-distance verify,
 - embedding cosine near-dup over a list<float> column.
 
+All stages are distributed: shingling/hashing/banding run in map_batches,
+pair generation in groupby(bucket).map_groups, and verification (exact
+Jaccard / Hamming / cosine) happens IN THE WORKERS — only the final pair set
+(O(duplicates), not O(corpus)) ever reaches the driver.
+
 All shingling/hashing is deterministic — ``pd.util.hash_array`` (fixed-key
-SipHash, stable cross-process), never Python's salted ``hash``; one vectorized
-hash call per batch instead of a per-shingle digest loop. Pairs are emitted
-once with a < b.
+SipHash, stable cross-process) by default, never Python's salted ``hash``;
+one vectorized hash call per batch instead of a per-shingle digest loop.
+``hash_fn="md5"`` switches to DuckDB-reproducible ``md5_number_lower``
+semantics (``int.from_bytes(md5(s)[8:16], 'little')``) so sketches can be
+verified end-to-end by a SQL oracle. Pairs are emitted once with a < b.
+
+Hot keys: ``max_df`` caps the document frequency of a blocking key (shingle /
+band bucket). Because each bucket fully contains its keys, the in-bucket
+group IS the key's global doc set, so the cap is exact global-``max_df``
+semantics at zero extra shuffle cost. Skipped keys are counted and surfaced
+in the result table's schema metadata (``hot_keys_skipped``) — capping is the
+standard quadratic-blowup guard for shingle blocking at corpus scale, at the
+cost of (documented) recall on pairs whose only shared shingles are hot.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -44,7 +61,20 @@ def _word_shingles(text: str, k: int) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _batch_shingle_hashes(batch, k: int, text_col: str, id_col: str):
+def _md5_u64(flat: list[str]) -> np.ndarray:
+    """DuckDB ``md5_number_lower`` pendant: low 8 digest bytes, little-endian.
+    Per-string hashlib loop — only used on oracle-checked (small-sf) paths."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+            for s in flat
+        ),
+        np.uint64,
+        count=len(flat),
+    )
+
+
+def _batch_shingle_hashes(batch, k: int, text_col: str, id_col: str, hash_fn="sip"):
     """Flatten a batch's distinct shingles and hash them in ONE vectorized
     call. Returns (doc_ids int64[n], counts int64[n_docs], hashes uint64[n])
     where hashes are grouped contiguously per doc."""
@@ -54,11 +84,12 @@ def _batch_shingle_hashes(batch, k: int, text_col: str, id_col: str):
         ids.append(doc_id)
         counts.append(len(sh))
         flat.extend(sh)
-    hashes = (
-        pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
-        if flat
-        else np.array([], np.uint64)
-    )
+    if not flat:
+        hashes = np.array([], np.uint64)
+    elif hash_fn == "md5":
+        hashes = _md5_u64(flat)
+    else:
+        hashes = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
     counts = np.asarray(counts, np.int64)
     doc_ids = np.repeat(np.asarray(ids, np.int64), counts)
     return doc_ids, counts, hashes
@@ -68,12 +99,15 @@ class ShingleStage:
     """map_batches actor: text -> distinct k-word-shingle hash rows
     (doc_id, shingle_hash). Explode form of the dedup candidate generation."""
 
-    def __init__(self, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(
+        self, k: int = 3, text_col: str = "text", id_col: str = "doc_id", hash_fn="sip"
+    ):
         self.k, self.text_col, self.id_col = k, text_col, id_col
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids, counts, hashes = _batch_shingle_hashes(
-            batch, self.k, self.text_col, self.id_col
+            batch, self.k, self.text_col, self.id_col, self.hash_fn
         )
         # carry the doc's total distinct-shingle count on every row: |A| then
         # rides the same shuffle as the intersections, so Jaccard needs no
@@ -87,14 +121,29 @@ class ShingleStage:
         )
 
 
-def _bucket_pairs(keys: list[str], n_buckets: int | None = None):
+_HOT_MARKER = -1  # doc_a sentinel row emitted once per max_df-skipped key
+
+
+def _bucket_pairs(
+    keys: list[str],
+    carry: tuple[str, ...] = (),
+    n_buckets: int | None = None,
+    max_df: int | None = None,
+):
     """Pair-emission over coarse hash buckets: shuffling thousands of tiny
-    per-shingle groups through groupby().map_groups() drowns in per-group
-    overhead, so we group by ``hash(key) % n_buckets`` (each bucket fully
-    contains its keys) and emit all within-key pairs of a bucket in one
+    per-key groups through groupby().map_groups() drowns in per-group
+    overhead, so we group by ``mix(hash(keys)) % n_buckets`` (each bucket
+    fully contains its keys) and emit all within-key pairs of a bucket in one
     vectorized pandas pass. Bucket count defaults to 8x cluster CPUs — enough
     distinct values that the sort shuffle's sampled partition boundaries stay
-    balanced (see stages/join.py), coarse enough to amortize per-group cost."""
+    balanced (see stages/join.py), coarse enough to amortize per-group cost.
+
+    ``carry`` columns are per-doc values replicated onto both pair sides
+    (``<c>_a`` / ``<c>_b``) — e.g. shingle counts for Jaccard, simhash codes
+    for Hamming — so verification needs no second corpus pass.
+    ``max_df`` skips keys matching more than that many docs (see module doc);
+    each skipped key emits one sentinel row with ``doc_a == -1`` and
+    ``inter = group size`` for the caller to count."""
     if n_buckets is None:
         try:
             import ray as _ray
@@ -107,6 +156,11 @@ def _bucket_pairs(keys: list[str], n_buckets: int | None = None):
         h = df[keys[0]].to_numpy(dtype=np.uint64)
         for k in keys[1:]:
             h = h * np.uint64(1000003) + df[k].to_numpy(dtype=np.uint64)
+        # splitmix64 finalizer: low-cardinality or low-entropy leading keys
+        # (e.g. band_id in {0..15}) must still spread over all buckets
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
         df = df.copy()
         df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
         return df
@@ -117,73 +171,93 @@ def _bucket_pairs(keys: list[str], n_buckets: int | None = None):
         shares. Cross-bucket partials are summed by the caller — combiner
         before the exchange, so the pair partials (not the raw per-key pair
         explosion) are all that leaves the task."""
-        carry_n = "n" in g.columns
-        out_a, out_b, out_na, out_nb = [], [], [], []
+        out_a, out_b = [], []
+        out_carry: dict[str, list] = {f"{c}_a": [] for c in carry}
+        out_carry.update({f"{c}_b": [] for c in carry})
+        hot_sizes: list[int] = []
         for _, grp in g.groupby(list(keys), sort=False):
             sub = grp.drop_duplicates("doc_id").sort_values("doc_id")
             docs = sub["doc_id"].to_numpy()
             if len(docs) < 2:
                 continue
+            if max_df is not None and len(docs) > max_df:
+                # hot key: counted, not exploded (the cap happens BEFORE the
+                # O(n^2) triu materialization — that is the whole point)
+                hot_sizes.append(len(docs))
+                continue
             ai, bi = np.triu_indices(len(docs), k=1)
             out_a.append(docs[ai])
             out_b.append(docs[bi])
-            if carry_n:
-                ns = sub["n"].to_numpy()
-                out_na.append(ns[ai])
-                out_nb.append(ns[bi])
-        cols = {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
-        if carry_n:
-            cols["n_a"] = np.array([], np.int64)
-            cols["n_b"] = np.array([], np.int64)
-        if not out_a:
+            for c in carry:
+                vals = sub[c].to_numpy()
+                out_carry[f"{c}_a"].append(vals[ai])
+                out_carry[f"{c}_b"].append(vals[bi])
+        carry_names = [f"{c}_{s}" for c in carry for s in ("a", "b")]
+        if not out_a and not hot_sizes:
+            cols = {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            for cn in carry_names:
+                cols[cn] = np.array([], np.int64)
             cols["inter"] = np.array([], np.int64)
             return pd.DataFrame(cols)
-        cols["doc_a"] = np.concatenate(out_a)
-        cols["doc_b"] = np.concatenate(out_b)
-        if carry_n:
-            cols["n_a"] = np.concatenate(out_na)
-            cols["n_b"] = np.concatenate(out_nb)
+        cols = {
+            "doc_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+            "doc_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+        }
+        for cn in carry_names:
+            cols[cn] = (
+                np.concatenate(out_carry[cn]) if out_a else np.array([], np.int64)
+            )
         df = pd.DataFrame(cols)
-        gb_cols = ["doc_a", "doc_b"] + (["n_a", "n_b"] if carry_n else [])
-        return (
+        gb_cols = ["doc_a", "doc_b"] + carry_names
+        agg = (
             df.groupby(gb_cols, sort=False, as_index=False)
             .size()
             .rename(columns={"size": "inter"})
         )
+        if hot_sizes:
+            marker = pd.DataFrame(
+                {
+                    "doc_a": np.full(len(hot_sizes), _HOT_MARKER, np.int64),
+                    "doc_b": np.full(len(hot_sizes), _HOT_MARKER, np.int64),
+                    **{
+                        cn: np.zeros(len(hot_sizes), agg[cn].dtype if len(agg) else np.int64)
+                        for cn in carry_names
+                    },
+                    "inter": np.asarray(hot_sizes, np.int64),
+                }
+            )
+            agg = pd.concat([agg, marker], ignore_index=True)
+        return agg
 
     return add_bucket, pairs_in_bucket
 
 
-def ngram_jaccard_pairs(
-    ds: ray.data.Dataset,
-    threshold: float = 0.5,
-    k: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> pa.Table:
-    """Exact n-gram-Jaccard duplicate pairs: (doc_a, doc_b, jaccard >= t).
+def _split_hot_markers(partials: pd.DataFrame) -> tuple[pd.DataFrame, int]:
+    """Split max_df sentinel rows off a pair-partial frame; returns
+    (real pairs, number of skipped hot keys)."""
+    if partials.empty:
+        return partials, 0
+    hot = partials["doc_a"] == _HOT_MARKER
+    return partials[~hot], int(hot.sum())
 
-    Shuffle-shape: shingle rows (carrying their doc's size |A|) ->
-    groupby(shingle-bucket) -> pair partials with (n_a, n_b) -> groupby(pair)
-    intersection counts. ONE pass over the corpus, one pipeline, two shuffles
-    whose payloads shrink at each step; only the (pair, inter, n_a, n_b)
-    aggregate reaches the driver. Candidate generation is complete because
-    J(a,b) > 0 implies a shared shingle. Hot shingles (appearing in >max_df
-    docs) would explode pairwise; callers at scale should drop them — here df
-    is bounded by the corpus.
-    """
-    # plain-function stage (tasks): ShingleStage's init is trivial, so an
-    # actor pool only adds startup latency
-    sh = ds.map_batches(
-        ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
-    )
-    add_bucket, pairs_in_bucket = _bucket_pairs(["sh"])
+
+def _jaccard_pairs_df(
+    sh: ray.data.Dataset, max_df: int | None = None
+) -> tuple[pd.DataFrame, int]:
+    """Shingle rows (doc_id, sh, n) -> exact-Jaccard pair frame
+    (doc_a, doc_b, jaccard) plus the hot-shingle skip count.
+
+    Shuffle-shape: groupby(shingle-bucket) -> pair partials with (n_a, n_b)
+    -> driver sum of the pre-aggregated partials. Only the (pair, inter,
+    n_a, n_b) aggregate reaches the driver."""
+    add_bucket, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
     partials = (
         sh.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
     )
+    partials, n_hot = _split_hot_markers(partials)
     # cross-bucket merge of the pre-aggregated pair partials on the driver:
     # the partial set is bounded by the candidate-pair count (~ the dup rate),
     # orders of magnitude smaller than the shingle exchange it rode in on —
@@ -195,22 +269,53 @@ def ngram_jaccard_pairs(
     inter = partials.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)[
         "inter"
     ].sum()
-    rows = []
-    for a, b, c, na, nb in zip(
-        inter["doc_a"], inter["doc_b"], inter["inter"], inter["n_a"], inter["n_b"]
-    ):
-        union = int(na) + int(nb) - int(c)
-        jac = int(c) / union if union else 0.0
-        if jac >= threshold:
-            rows.append((int(a), int(b), jac))
-    rows.sort()
-    return pa.table(
+    union = inter["n_a"] + inter["n_b"] - inter["inter"]
+    jac = np.where(union > 0, inter["inter"] / union.replace(0, 1), 0.0)
+    out = pd.DataFrame(
         {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            "doc_a": inter["doc_a"].astype(np.int64),
+            "doc_b": inter["doc_b"].astype(np.int64),
+            "jaccard": jac,
         }
     )
+    return out, n_hot
+
+
+def _pairs_table(rows: pd.DataFrame, value_col: str, value_type, n_hot: int) -> pa.Table:
+    rows = rows.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    tbl = pa.table(
+        {
+            "doc_a": pa.array(rows["doc_a"].to_numpy(np.int64), pa.int64()),
+            "doc_b": pa.array(rows["doc_b"].to_numpy(np.int64), pa.int64()),
+            value_col: pa.array(rows[value_col].to_numpy(), value_type),
+        }
+    )
+    return tbl.replace_schema_metadata({"hot_keys_skipped": str(n_hot)})
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> pa.Table:
+    """Exact n-gram-Jaccard duplicate pairs: (doc_a, doc_b, jaccard >= t).
+
+    ONE pass over the corpus, one pipeline, two shuffles whose payloads
+    shrink at each step. Candidate generation is complete because
+    J(a,b) > 0 implies a shared shingle. ``max_df`` (optional) caps hot
+    shingles — see module docstring for the exact semantics.
+    """
+    # plain-function stage (tasks): ShingleStage's init is trivial, so an
+    # actor pool only adds startup latency
+    sh = ds.map_batches(
+        ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
+    )
+    pairs, n_hot = _jaccard_pairs_df(sh, max_df=max_df)
+    pairs = pairs[pairs["jaccard"] >= threshold]
+    return _pairs_table(pairs, "jaccard", pa.float64(), n_hot)
 
 
 # ---------------------------------------------------------------------------
@@ -231,24 +336,32 @@ class MinHashStage:
     bands of r rows hashed to a bucket key. Deterministic given (n_perm, seed).
     """
 
-    def __init__(self, n_perm=64, bands=16, k=3, text_col="text", id_col="doc_id", seed=7):
+    def __init__(
+        self, n_perm=64, bands=16, k=3, text_col="text", id_col="doc_id", seed=7,
+        hash_fn="sip",
+    ):
         assert n_perm % bands == 0
         self.a, self.b = _minhash_params(n_perm, seed)
         self.n_perm, self.bands, self.r = n_perm, bands, n_perm // bands
         self.k, self.text_col, self.id_col = k, text_col, id_col
+        self.hash_fn = hash_fn
 
     def signature(self, text: str) -> np.ndarray | None:
         """Single-doc signature (kept for direct use/tests)."""
         sh_set = _word_shingles(text, self.k)
         if not sh_set:
             return None
-        sh = pd.util.hash_array(np.asarray(sorted(sh_set), dtype=object), categorize=False)
+        flat = sorted(sh_set)
+        if self.hash_fn == "md5":
+            sh = _md5_u64(flat)
+        else:
+            sh = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids_rep, counts, flat = _batch_shingle_hashes(
-            batch, self.k, self.text_col, self.id_col
+            batch, self.k, self.text_col, self.id_col, self.hash_fn
         )
         keep = counts > 0
         if not keep.any():
@@ -291,48 +404,60 @@ def minhash_lsh_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> pa.Table:
     """Near-dup candidate pairs via banded MinHash LSH, verified with exact
-    Jaccard (so false positives are filtered; recall is probabilistic)."""
+    Jaccard (so false positives are filtered; recall is probabilistic).
+
+    Fully distributed: banding runs in map_batches, candidate pairs come out
+    of the bucketed groupby, and the exact-Jaccard verify re-shingles ONLY
+    docs that appear in some candidate pair — inside map_batches, via a
+    broadcast candidate-id filter. The driver holds the candidate-pair set
+    (O(duplicates)) and never the corpus. ``max_df`` caps hot band buckets.
+    """
+    import ray as _ray
+
     buckets = ds.map_batches(
         MinHashStage(n_perm=n_perm, bands=bands, k=k, text_col=text_col, id_col=id_col),
         batch_format="pandas",
     )
-    add_bucket, pairs_in_bucket = _bucket_pairs(["band_id", "band_hash"])
+    add_bucket, pairs_in_bucket = _bucket_pairs(["band_id", "band_hash"], max_df=max_df)
     cand_df = (
         buckets.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
     )
+    cand_df, n_hot = _split_hot_markers(cand_df)
     if cand_df.empty:
         cand_df = pd.DataFrame({"doc_a": [], "doc_b": []})
-    cand_df = cand_df.drop_duplicates(["doc_a", "doc_b"])  # cross-bucket dedup
-    cand = list(zip(cand_df["doc_a"].astype(int), cand_df["doc_b"].astype(int)))
+    cand_df = cand_df[["doc_a", "doc_b"]].drop_duplicates().astype(np.int64)
 
-    docs_df = ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(docs_df[id_col], docs_df[text_col]))
-    rows = []
-    shingle_cache: dict[int, set] = {}
+    # exact-Jaccard verify, distributed: shingle only candidate docs (the
+    # broadcast id set is O(dup docs)), then the same blocked-Jaccard shuffle
+    # as ngram_jaccard_pairs restricted to those docs. A candidate pair with
+    # J > 0 shares a shingle, so it appears in the blocked pair set; the
+    # inner merge below drops blocked pairs that were never LSH candidates.
+    cand_ids = np.unique(
+        np.concatenate([cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()])
+    ) if len(cand_df) else np.array([], np.int64)
+    ids_ref = _ray.put(cand_ids)
 
-    def shingles(d):
-        if d not in shingle_cache:
-            shingle_cache[d] = _word_shingles(texts.get(d) or "", k)
-        return shingle_cache[d]
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        want = _ray.get(ids_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, want)))
 
-    for a, b in sorted(cand):
-        sa, sb = shingles(a), shingles(b)
-        union = len(sa | sb)
-        jac = len(sa & sb) / union if union else 0.0
-        if jac >= threshold:
-            rows.append((a, b, round(jac, 6)))
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard_r": pa.array([r[2] for r in rows], pa.float64()),
-        }
+    sh = ds.select_columns([id_col, text_col]).map_batches(
+        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
     )
+    jac_df, _ = _jaccard_pairs_df(sh)
+    merged = cand_df.merge(jac_df, on=["doc_a", "doc_b"], how="inner")
+    merged = merged[merged["jaccard"] >= threshold].copy()
+    merged["jaccard_r"] = merged["jaccard"].round(6)
+    return _pairs_table(merged, "jaccard_r", pa.float64(), n_hot)
 
 
 # ---------------------------------------------------------------------------
@@ -342,15 +467,22 @@ def minhash_lsh_pairs(
 class SimHashStage:
     """map_batches actor: doc -> 64-bit simhash over word-shingle hashes."""
 
-    def __init__(self, k: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(
+        self, k: int = 2, text_col: str = "text", id_col: str = "doc_id", hash_fn="sip"
+    ):
         self.k, self.text_col, self.id_col = k, text_col, id_col
+        self.hash_fn = hash_fn
 
     def simhash(self, text: str) -> int:
         """Single-doc simhash (kept for direct use/tests)."""
         sh_set = _word_shingles(text, self.k)
         if not sh_set:
             return 0
-        hs = pd.util.hash_array(np.asarray(sorted(sh_set), dtype=object), categorize=False)
+        flat = sorted(sh_set)
+        if self.hash_fn == "md5":
+            hs = _md5_u64(flat)
+        else:
+            hs = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
@@ -359,7 +491,7 @@ class SimHashStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids_rep, counts, flat = _batch_shingle_hashes(
-            batch, self.k, self.text_col, self.id_col
+            batch, self.k, self.text_col, self.id_col, self.hash_fn
         )
         n_docs = len(counts)
         out = np.zeros(n_docs, np.uint64)
@@ -385,46 +517,124 @@ class SimHashStage:
         )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no bitwise_count)."""
+    if len(x) == 0:
+        return np.array([], np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+
+
 def simhash_pairs(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
     k: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "sip",
+    max_df: int | None = None,
 ) -> pa.Table:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
     Blocking: 4 16-bit bands — any pair within Hamming 3 agrees on >= 1 band
     (pigeonhole), so candidate generation is complete for max_hamming <= 3.
+
+    Fully distributed: codes in map_batches, band-bucket pair generation in
+    the same bucketed groupby as the Jaccard paths (codes ride the shuffle as
+    carry columns), XOR+popcount verify vectorized in a worker stage. The
+    driver sees only verified pairs. ``hash_fn="md5"`` makes the whole
+    pipeline reproducible in SQL (see queries' simhash oracle).
     """
     sims = ds.map_batches(
-        SimHashStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
-    ).to_pandas()
-    ids = sims["doc_id"].to_numpy()
-    hashes = sims["simhash"].to_numpy(dtype=np.uint64)
+        SimHashStage(k=k, text_col=text_col, id_col=id_col, hash_fn=hash_fn),
+        batch_format="pandas",
+    )
 
-    cand = set()
-    for band in range(4):
-        keys = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        dfb = pd.DataFrame({"id": ids, "key": keys})
-        for _, grp in dfb.groupby("key"):
-            docs = sorted(grp["id"])
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    cand.add((docs[i], docs[j]))
-    by_id = dict(zip(ids, hashes))
-    rows = []
-    for a, b in sorted(cand):
-        d = int(bin(int(by_id[a]) ^ int(by_id[b])).count("1"))
-        if d <= max_hamming:
-            rows.append((a, b, d))
-    return pa.table(
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(dtype=np.uint64)
+        n = len(df)
+        ids = df["doc_id"].to_numpy(np.int64)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        rep = np.repeat(h, 4)
+        key16 = (rep >> (np.uint64(16) * bands.astype(np.uint64))) & np.uint64(0xFFFF)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, 4),
+                "band": bands,
+                "key16": key16.astype(np.int64),
+                # full code rides the shuffle as int64 view for the verify
+                "code": h.view(np.int64).repeat(4),
+            }
+        )
+
+    add_bucket, pairs_in_bucket = _bucket_pairs(
+        ["band", "key16"], carry=("code",), max_df=max_df
+    )
+
+    def hamming_verify(df: pd.DataFrame) -> pd.DataFrame:
+        """XOR+popcount in the worker; hot-key marker rows pass through with
+        hamming = -1 so the driver can count them without a second pass."""
+        df, n_hot_local = _split_hot_markers(df)
+        if df.empty:
+            out = pd.DataFrame(
+                {
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "hamming": np.array([], np.int64),
+                }
+            )
+        else:
+            x = df["code_a"].to_numpy(np.int64).view(np.uint64) ^ df[
+                "code_b"
+            ].to_numpy(np.int64).view(np.uint64)
+            ham = _popcount64(x)
+            keep = ham <= max_hamming
+            out = pd.DataFrame(
+                {
+                    "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+                    "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+                    "hamming": ham[keep],
+                }
+            )
+        if n_hot_local:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "doc_a": np.full(n_hot_local, _HOT_MARKER, np.int64),
+                            "doc_b": np.full(n_hot_local, _HOT_MARKER, np.int64),
+                            "hamming": np.full(n_hot_local, -1, np.int64),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    # verify runs in the workers; the driver only drop-duplicates the
+    # verified pair set across bands and counts hot-key markers
+    verified = (
+        sims.map_batches(band_rows, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(hamming_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    verified, n_hot = _split_hot_markers(verified)
+    out = verified.drop_duplicates(["doc_a", "doc_b"])
+    out = out.astype({"doc_a": np.int64, "doc_b": np.int64})
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    tbl = pa.table(
         {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], pa.int32()),
+            "doc_a": pa.array(out["doc_a"].to_numpy(np.int64), pa.int64()),
+            "doc_b": pa.array(out["doc_b"].to_numpy(np.int64), pa.int64()),
+            "hamming": pa.array(out["hamming"].to_numpy(np.int64), pa.int32()),
         }
     )
+    return tbl.replace_schema_metadata({"hot_keys_skipped": str(n_hot)})
 
 
 def cluster_duplicates(pairs: pa.Table, a_col: str = "doc_a", b_col: str = "doc_b") -> dict:
@@ -480,41 +690,164 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mode: str = "exact",
+    n_list: int | None = None,
+    n_assign: int = 2,
+    train_sample: int = 65536,
+    seed: int = 23,
     block: int = 2048,
 ) -> pa.Table:
     """Pairs with cosine similarity >= threshold over a list<float> column.
 
-    Batched matmul against the (broadcastable) normalized matrix; at scale the
-    right side would be an LSH/IVF bucket instead of the full corpus — here the
-    corpus is the bucket.
+    - ``mode="exact"``: all-pairs, distributed — the normalized matrix is
+      built once and broadcast via ``ray.put`` (one object-store copy,
+      zero-copy numpy reads in workers); each map_batches task computes its
+      block x corpus matmul and emits only its above-threshold pairs. Exact
+      for ANY threshold, but all-pairs is inherently O(n^2) compute and the
+      broadcast is O(corpus) — the honest small/medium-corpus path.
+    - ``mode="ivf"``: the scale path for true near-dup thresholds (>= ~0.9):
+      spherical-k-means centroids from a bounded sample (similarity.py's
+      trainer), each vector assigned to its ``n_assign`` nearest lists,
+      shuffle by list, within-list matmul in workers. Near-identical vectors
+      share a nearest list with overwhelming probability; recall is
+      probabilistic (asserted in tests), driver memory is O(pairs).
     """
-    parts = []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=100_000, batch_format="pyarrow"
-    ):
-        parts.append(b)
-    tbl = pa.concat_tables(parts)
-    ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    mat = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
+    from statefulstreamprocessor_ray.stages.similarity import (
+        _normalize,
+        _to_matrix,
+        _train_centroids,
+    )
 
-    rows = []
-    n = len(ids)
-    for i0 in range(0, n, block):
-        sims = np.round(unit[i0 : i0 + block] @ unit.T, 6)  # rounded before threshold
-        for ii in range(sims.shape[0]):
-            gi = i0 + ii
-            js = np.flatnonzero(sims[ii] >= threshold)
-            for j in js:
-                if ids[gi] < ids[j]:
-                    rows.append((int(ids[gi]), int(ids[j]), float(sims[ii, j])))
-    rows.sort()
+    import ray as _ray
+
+    sel = ds.select_columns([id_col, vec_col])
+
+    if mode == "exact":
+        parts = list(sel.iter_batches(batch_size=100_000, batch_format="pyarrow"))
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos_r": pa.array([], pa.float64()),
+                }
+            )
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        unit = _normalize(_to_matrix(tbl[vec_col]))
+        ref = _ray.put({"ids": ids, "unit": unit})
+
+        def block_pairs(t: pa.Table) -> pa.Table:
+            corpus = _ray.get(ref)  # zero-copy object-store read
+            bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            bunit = _normalize(_to_matrix(t[vec_col]))
+            out_a, out_b, out_s = [], [], []
+            for i0 in range(0, len(bids), block):
+                sims = np.round(
+                    bunit[i0 : i0 + block] @ corpus["unit"].T, 6
+                )  # rounded before threshold
+                ii, jj = np.nonzero(sims >= threshold)
+                a = bids[i0 + ii]
+                b = corpus["ids"][jj]
+                keep = a < b  # each unordered pair emitted once, a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+                out_s.append(sims[ii, jj][keep])
+            return pa.table(
+                {
+                    "vec_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+                    "vec_b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
+                    "cos_r": pa.array(
+                        np.concatenate(out_s) if out_s else [], pa.float64()
+                    ),
+                }
+            )
+
+        pairs = sel.map_batches(
+            block_pairs, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    elif mode == "ivf":
+        sample_parts = list(
+            sel.limit(train_sample).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+        if not sample_parts:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos_r": pa.array([], pa.float64()),
+                }
+            )
+        sample = _normalize(_to_matrix(pa.concat_tables(sample_parts)[vec_col]))
+        if n_list is None:
+            n_list = max(8, int(np.sqrt(len(sample))))
+        cent = _train_centroids(sample, n_list, seed=seed)
+        cref = _ray.put(cent)
+        m = min(n_assign, len(cent))
+
+        def assign(t: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            unit = _normalize(_to_matrix(t[vec_col]))
+            sims = unit @ c.T
+            top = np.argpartition(-sims, m - 1, axis=1)[:, :m].astype(np.int32)
+            n, d = unit.shape
+            flat = np.repeat(unit, m, axis=0).ravel()
+            offsets = np.arange(n * m + 1, dtype=np.int32) * d
+            vecs = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat, pa.float32())
+            )
+            return pa.table(
+                {
+                    "list_id": pa.array(top.ravel(), pa.int32()),
+                    id_col: pa.array(np.repeat(ids, m), pa.int64()),
+                    "unit_vec": vecs,
+                }
+            )
+
+        def pairs_in_list(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            # unique ids within the list (n_assign can duplicate a vector
+            # into the same list when argpartition ties)
+            _, first = np.unique(ids, return_index=True)
+            ids = ids[first]
+            unit = _to_matrix(t["unit_vec"])[first]
+            out_a, out_b, out_s = [], [], []
+            for i0 in range(0, len(ids), block):
+                sims = np.round(unit[i0 : i0 + block] @ unit.T, 6)
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = ids[i0 + ii], ids[jj]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+                out_s.append(sims[ii, jj][keep])
+            return pa.table(
+                {
+                    "vec_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+                    "vec_b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
+                    "cos_r": pa.array(
+                        np.concatenate(out_s) if out_s else [], pa.float64()
+                    ),
+                }
+            )
+
+        pairs = (
+            sel.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("list_id")
+            .map_groups(pairs_in_list, batch_format="pyarrow")
+            .to_pandas()
+        )
+        pairs = pairs.drop_duplicates(["vec_a", "vec_b"])
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    pairs = pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table(
         {
-            "vec_a": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_b": pa.array([r[1] for r in rows], pa.int64()),
-            "cos_r": pa.array([r[2] for r in rows], pa.float64()),
+            "vec_a": pa.array(pairs["vec_a"].to_numpy(np.int64), pa.int64()),
+            "vec_b": pa.array(pairs["vec_b"].to_numpy(np.int64), pa.int64()),
+            "cos_r": pa.array(pairs["cos_r"].to_numpy(np.float64), pa.float64()),
         }
     )

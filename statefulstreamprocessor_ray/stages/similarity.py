@@ -25,7 +25,25 @@ import ray.data
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """(n, d) float64 matrix from a list<float> / fixed_size_list column —
+    via the flat Arrow values buffer (one copy for the dtype cast), never a
+    per-row to_pylist() Pythonization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count or len(col) == 0:
+        return np.asarray(col.to_pylist(), dtype=np.float64)  # slow, rare path
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        # a sliced FixedSizeListArray's .values still spans the parent buffer
+        flat = flat[col.offset * d : (col.offset + len(col)) * d]
+        return flat.reshape(len(col), d).astype(np.float64, copy=False)
+    # variable-length list: require uniform row lengths (embedding columns)
+    lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if lengths.size and (lengths != lengths[0]).any():
+        return np.asarray(col.to_pylist(), dtype=np.float64)  # ragged fallback
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.float64, copy=False)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
