@@ -461,16 +461,21 @@ def q_multimodal_pipeline(sf_dir):
     batches, deterministic fakes in the codec slots."""
     docs = _documents(sf_dir, columns=["doc_id", "text"])
     ds = multimodal.attach_binary_payload(docs)
-    # concurrency=1 per actor stage: TWO chained actor pools at concurrency=2
-    # reserve 4 CPUs and starve their own producer tasks in small sessions
-    # (deadlocks a 4-CPU Ray session; see text.py's sizing note)
-    ds = multimodal.decode_media(ds, mode="fake", concurrency=1)
+    # autoscaling pools, floor 1: chained actor pools that RESERVE more CPUs
+    # than the session has starve their own producer tasks (deadlocks a 4-CPU
+    # Ray session; see text.py's sizing note), so the old shape pinned
+    # concurrency=1 — but a pin caps a 32-CPU node at one actor per stage.
+    # (1, cpus//4) keeps the floor as the deadlock guard, not the ceiling:
+    # each of the chained stages may claim at most a quarter of the cluster,
+    # leaving headroom for the producer tasks.
+    pool = (1, max(1, int(ray.cluster_resources().get("CPU", 4)) // 4))
+    ds = multimodal.decode_media(ds, mode="fake", concurrency=pool)
     ds = ds.map_batches(
         multimodal.ResizeStage,
         fn_constructor_kwargs={"target_w": 32},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=1,
+        concurrency=pool,
         num_cpus=1,
     )
     ds = ds.map_batches(
@@ -608,18 +613,35 @@ def q_minhash_lsh(sf_dir):
 
 
 def q_simhash(sf_dir):
+    """SimHash near-dup pairs, SQL-checked end-to-end: hash_fn='md5' makes
+    the shingle hash DuckDB-reproducible (md5_number_lower), so the oracle
+    recomputes codes, 16-bit-band blocking (complete for hamming <= 3 by
+    pigeonhole) and the XOR/popcount verify entirely in SQL. The default
+    SipHash path (faster; same pipeline shape) is differential-tested in
+    pytest."""
     return dedup.simhash_pairs(
-        _documents(sf_dir, columns=["doc_id", "text"]), max_hamming=3
+        _documents(sf_dir, columns=["doc_id", "text"]), max_hamming=3, hash_fn="md5"
     )
 
 
 def q_lsh_topk(sf_dir):
+    """Hyperplane-LSH pruned top-k, SQL-checked end-to-end: the planes are a
+    fixed deterministic matrix (seed 13) whose values are baked into the
+    oracle as constants, so DuckDB recomputes bucket bits, the Hamming-radius
+    candidate rule and the candidate-restricted top-k exactly."""
     return similarity.lsh_topk(_embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
 def q_ivf_topk(sf_dir):
+    """IVF pruned top-k with closed-form centroids (normalized corpus rows
+    0..15), SQL-checked end-to-end: assignment, nprobe probing and the
+    candidate-restricted top-k are all recomputed by the oracle."""
     return similarity.ivf_topk(
-        _embeddings(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10, n_list=16, nprobe=4
+        _embeddings(sf_dir),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        nprobe=4,
+        centroid_ids=list(range(16)),
     )
 
 
@@ -664,6 +686,44 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
 }
 
+
+# shared core of the lsb ordered-join oracles: tag purchase/click as the two
+# sides, closed-form JR1/JR2 candidate generation with window functions
+# (state/vectorized.py's SQL twin; tie-free cross-side ts assumed, which the
+# driver testdata satisfies)
+_LSB_EVENTS_CORE = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, value,
+         CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('purchase','click')
+), x AS (
+  SELECT *, lag(tu) OVER (PARTITION BY user_id, side ORDER BY tu, event_id) AS tp FROM u
+), cand AS (
+  SELECT x.user_id,
+         x.tu AS x_tu, x.event_id AS x_id, x.value AS x_val, x.side AS x_side, x.tp,
+         y.tu AS y_tu, y.event_id AS y_id, y.value AS y_val,
+         row_number() OVER (PARTITION BY x.user_id, x.event_id
+                            ORDER BY y.tu, y.event_id) AS rnk
+  FROM x JOIN u y
+    ON y.user_id = x.user_id AND y.side = 1 - x.side
+   AND y.tu < x.tu
+   AND (x.tp IS NULL OR y.tu > x.tp)
+), jr2 AS (
+  SELECT user_id, x_tu AS trig_tu, x_id AS trig_id, 1 AS case_rank, rnk, 'JR2' AS join_case,
+         x_side, x_tu AS piv_tu, x_id AS piv_id, x_val AS piv_val, y_tu, y_id, y_val
+  FROM cand WHERE ABS(x_tu - y_tu) <= 3600000000
+), jr1 AS (
+  SELECT c.user_id, c.x_tu AS trig_tu, c.x_id AS trig_id, 0 AS case_rank, c.rnk,
+         'JR1' AS join_case, c.x_side,
+         p.tu AS piv_tu, p.event_id AS piv_id, p.value AS piv_val,
+         c.y_tu, c.y_id, c.y_val
+  FROM cand c JOIN u p
+    ON p.user_id = c.user_id AND p.side = c.x_side AND p.tu = c.tp
+  WHERE c.rnk > 1 AND ABS(p.tu - c.y_tu) <= 3600000000
+), pairs AS (
+  SELECT * FROM jr2 UNION ALL SELECT * FROM jr1
+)
+"""
 
 ORACLE_SQL = {
     "filter_prefix": "SELECT * FROM events WHERE event_type LIKE 'p%'",
@@ -915,43 +975,28 @@ SELECT doc_a, doc_b,
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
 """,
-    "lsb_join_sql": """
-WITH u AS (
-  SELECT user_id, epoch_us(ts) AS tu, event_id, value,
-         CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS side
-  FROM events WHERE event_type IN ('purchase','click')
-), x AS (
-  SELECT *, lag(tu) OVER (PARTITION BY user_id, side ORDER BY tu, event_id) AS tp FROM u
-), cand AS (
-  SELECT x.user_id,
-         x.tu AS x_tu, x.event_id AS x_id, x.value AS x_val, x.side AS x_side, x.tp,
-         y.tu AS y_tu, y.event_id AS y_id, y.value AS y_val,
-         row_number() OVER (PARTITION BY x.user_id, x.event_id
-                            ORDER BY y.tu, y.event_id) AS rnk
-  FROM x JOIN u y
-    ON y.user_id = x.user_id AND y.side = 1 - x.side
-   AND y.tu < x.tu
-   AND (x.tp IS NULL OR y.tu > x.tp)
-), jr2 AS (
-  SELECT user_id, x_tu AS trig_tu, x_id AS trig_id, 1 AS case_rank, rnk, 'JR2' AS join_case,
-         x_side, x_tu AS piv_tu, x_id AS piv_id, x_val AS piv_val, y_tu, y_id, y_val
-  FROM cand WHERE ABS(x_tu - y_tu) <= 3600000000
-), jr1 AS (
-  SELECT c.user_id, c.x_tu AS trig_tu, c.x_id AS trig_id, 0 AS case_rank, c.rnk,
-         'JR1' AS join_case, c.x_side,
-         p.tu AS piv_tu, p.event_id AS piv_id, p.value AS piv_val,
-         c.y_tu, c.y_id, c.y_val
-  FROM cand c JOIN u p
-    ON p.user_id = c.user_id AND p.side = c.x_side AND p.tu = c.tp
-  WHERE c.rnk > 1 AND ABS(p.tu - c.y_tu) <= 3600000000
-), pairs AS (
-  SELECT * FROM jr2 UNION ALL SELECT * FROM jr1
-)
+    "lsb_join_sql": _LSB_EVENTS_CORE + """
 SELECT user_id,
        CASE WHEN x_side=0 THEN piv_tu ELSE y_tu END AS r_ts_us,
        CAST(CASE WHEN x_side=0 THEN piv_id ELSE y_id END AS BIGINT) AS r_event_id,
        CASE WHEN x_side=0 THEN piv_val ELSE y_val END AS r_value,
        CASE WHEN x_side=0 THEN y_tu ELSE piv_tu END AS s_ts_us,
+       CAST(CASE WHEN x_side=0 THEN y_id ELSE piv_id END AS BIGINT) AS s_event_id,
+       CASE WHEN x_side=0 THEN y_val ELSE piv_val END AS s_value,
+       join_case,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY trig_tu, trig_id, case_rank, rnk) - 1 AS BIGINT) AS emit_seq
+FROM pairs
+""",
+    # same core as lsb_join_sql (the two queries share the join path; this
+    # entry checks the RAW ordered_join_events surface incl. native
+    # timestamp columns, which canonicalize to int64 in the compare)
+    "lsb_join_events": _LSB_EVENTS_CORE + """
+SELECT user_id,
+       make_timestamp(CASE WHEN x_side=0 THEN piv_tu ELSE y_tu END) AS r_ts,
+       CAST(CASE WHEN x_side=0 THEN piv_id ELSE y_id END AS BIGINT) AS r_event_id,
+       CASE WHEN x_side=0 THEN piv_val ELSE y_val END AS r_value,
+       make_timestamp(CASE WHEN x_side=0 THEN y_tu ELSE piv_tu END) AS s_ts,
        CAST(CASE WHEN x_side=0 THEN y_id ELSE piv_id END AS BIGINT) AS s_event_id,
        CASE WHEN x_side=0 THEN y_val ELSE piv_val END AS s_value,
        join_case,
@@ -1177,3 +1222,176 @@ SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM r WHERE r
 
 ORACLE_SQL["streaming_cep_funnel"] = ORACLE_SQL["cep_funnel"]
 ORACLE_SQL["streaming_cep_absence"] = ORACLE_SQL["cep_absence"]
+
+# minhash_lsh: the engine output is {LSH candidate pairs} ∩ {exact Jaccard >=
+# t} — banding recall over this corpus's duplicate pairs is 1.0 under the
+# query's fixed (n_perm=64, bands=16, seed=7), asserted against
+# ngram_jaccard in tests — so the exact-Jaccard pair set IS the oracle
+# (threshold/k match q_minhash_lsh; jaccard_r = rounded verify output).
+ORACLE_SQL["minhash_lsh"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+      END) AS g
+    FROM t WHERE len(ws) > 0
+  )
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard_r
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+"""
+
+# simhash (q_simhash uses hash_fn='md5'): the ENTIRE sketch is recomputed in
+# SQL — k=2 word shingles, md5_number_lower shingle hashes (the engine's md5
+# mode reproduces DuckDB's semantics bit-for-bit: low 8 digest bytes,
+# little-endian), per-bit majority votes, 64-bit code assembly, and the
+# Hamming <= 3 pair filter via bit_count(xor(...)). The engine's 16-bit-band
+# blocking is complete for hamming <= 3 (pigeonhole), so the blocked pair set
+# equals this full cross-join's. Docs with no tokens get code 0 (both sides).
+ORACLE_SQL["simhash"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)), i -> concat(ws[i], ' ', ws[i+1]))
+      END) AS g
+    FROM t WHERE len(ws) > 0
+  )
+), h AS (
+  SELECT doc_id, md5_number_lower(g) AS hv FROM shing
+), bits AS (
+  SELECT doc_id, CAST(b.i AS INT) AS bit,
+         CASE WHEN (hv >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, (SELECT unnest(range(0, 64)) AS i) b
+), votes AS (
+  SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2
+), codes0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS code
+  FROM votes GROUP BY doc_id
+), codes AS (
+  SELECT d.doc_id, coalesce(c.code, CAST(0 AS UBIGINT)) AS code
+  FROM documents d LEFT JOIN codes0 c ON c.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code, b.code)) <= 3
+"""
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """lsh_topk oracle: the 8 deterministic hyperplanes (seed 13, dim 64 —
+    the testdata embedding width) are baked into the SQL as full-precision
+    constants (repr round-trips float64 exactly), so DuckDB recomputes bucket
+    bits (sign of plane dot; scale-invariant, so raw vectors suffice), the
+    Hamming<=1 candidate rule, and the candidate-restricted cosine top-k with
+    the engine's (sim_r DESC, neighbor_id) tie-break."""
+    rng = np.random.default_rng(13)
+    planes = rng.standard_normal((8, 64))
+    vals = ",\n    ".join(
+        ",".join(f"({pl},{i + 1},{w!r})" for i, w in enumerate(planes[pl]))
+        for pl in range(8)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), p(plane, i, w) AS (
+  SELECT * FROM (VALUES {vals})
+), dots AS (
+  SELECT e.vec_id, p.plane, sum(e.v * p.w) AS d
+  FROM e JOIN p ON p.i = e.i GROUP BY 1, 2
+), bits AS (
+  SELECT vec_id, plane, CASE WHEN d >= 0 THEN 1 ELSE 0 END AS bit FROM dots
+), qb AS (
+  SELECT vec_id AS query_id, plane, bit FROM bits WHERE vec_id IN (0,1,2,3,4)
+), cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id
+  FROM qb q JOIN bits b ON b.plane = q.plane
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN q.bit <> b.bit THEN 1 ELSE 0 END) <= 1
+), n AS (
+  SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1
+), d2 AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.v * t.v) AS dot
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e t ON t.vec_id = c.neighbor_id AND t.i = q.i
+  GROUP BY 1, 2
+), s AS (
+  SELECT query_id, neighbor_id, round(dot/(nq.nrm*nn.nrm), 6) AS sim_r
+  FROM d2 JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+ORACLE_SQL["lsh_topk"] = _lsh_topk_oracle_sql()
+
+# ivf_topk (closed-form centroids = normalized corpus rows 0..15): the oracle
+# recomputes the inverted file — per-row nearest-centroid assignment (argmax
+# of dot with NORMALIZED centroids; row norms are rank-invariant so raw row
+# vectors suffice), each query's nprobe=4 probed lists, and the
+# candidate-restricted cosine top-k with the engine's tie-break.
+ORACLE_SQL["ivf_topk"] = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), n AS (
+  SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1
+), cents AS (
+  SELECT e.vec_id AS cent, e.i, e.v / n.nrm AS w
+  FROM e JOIN n ON n.vec_id = e.vec_id
+  WHERE e.vec_id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)
+), dots AS (
+  SELECT e.vec_id, c.cent, sum(e.v * c.w) AS d
+  FROM e JOIN cents c ON c.i = e.i GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent) AS rn
+    FROM dots) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cent FROM (
+    SELECT vec_id, cent,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent) AS rn
+    FROM dots WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cent = p.cent
+), d2 AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.v * t.v) AS dot
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e t ON t.vec_id = c.neighbor_id AND t.i = q.i
+  GROUP BY 1, 2
+), s AS (
+  SELECT query_id, neighbor_id, round(dot/(nq.nrm*nn.nrm), 6) AS sim_r
+  FROM d2 JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""

@@ -63,7 +63,10 @@ class DecodeStage:
 
 
 def decode_media(
-    ds: ray.data.Dataset, mode: str = "fake", concurrency: int = 2, batch_size: int = 256
+    ds: ray.data.Dataset,
+    mode: str = "fake",
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 256,
 ) -> ray.data.Dataset:
     """Small batches: payload rows are wide, so batch_size is deliberately low
     to keep batch x concurrency within worker heap."""

@@ -285,22 +285,36 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 17,
+    centroid_ids: list[int] | None = None,
 ) -> pa.Table:
     """Approximate top-k via an IVF (inverted-file) index: spherical-k-means
     centroids trained on a bounded sample, broadcast once; each batch assigns
     its rows to the nearest centroid and a query scores only rows in its
     ``nprobe`` closest lists. ``nprobe == n_list`` degrades to exact brute
-    force (asserted in tests)."""
+    force (asserted in tests).
+
+    ``centroid_ids``: use the normalized vectors of these corpus rows as the
+    centroids instead of k-means (sorted by id, so centroid index order is
+    deterministic). Slightly coarser lists than k-means, but the whole index
+    — assignment, probing, pruning — becomes closed-form and reproducible by
+    a SQL oracle, which is how the driver checks this query end-to-end."""
     q = _fetch_queries(ds, query_ids, vec_col, id_col)
     if len(q["ids"]) == 0:
         return _EMPTY_TOPK
-    sample_tbl = pa.concat_tables(
-        b
-        for b in ds.select_columns([vec_col])
-        .limit(train_sample)
-        .iter_batches(batch_size=65536, batch_format="pyarrow")
-    )
-    cent = _train_centroids(_normalize(_to_matrix(sample_tbl[vec_col])), n_list, seed=seed)
+    if centroid_ids is not None:
+        c = _fetch_queries(ds, centroid_ids, vec_col, id_col)
+        order = np.argsort(c["ids"])
+        cent = c["unit"][order]
+    else:
+        sample_tbl = pa.concat_tables(
+            b
+            for b in ds.select_columns([vec_col])
+            .limit(train_sample)
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        )
+        cent = _train_centroids(
+            _normalize(_to_matrix(sample_tbl[vec_col])), n_list, seed=seed
+        )
     q_probe = np.argsort(-(q["unit"] @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
     ref = ray.put(
         {
