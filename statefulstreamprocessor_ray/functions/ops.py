@@ -126,23 +126,57 @@ def order_check(
     seq_col: str = "event_id",
 ) -> ray.data.Dataset:
     """P14: per-key monotonicity validator (``01_Simulator/checkOrder.py:8-20``):
-    count of arrival-order records whose event time regressed."""
+    count of arrival-order records whose event time regressed.
+
+    Shard-vectorized (hash(key) % P exchange, one task per shard): the shard
+    sorts once by (key, seq) and counts regressions for ALL its keys in one
+    numpy pass — per-key map_groups tasks would hit the task-overhead cliff
+    at millions of keys."""
+    import pandas as pd
+
+    try:
+        import ray as _ray
+
+        n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+    except Exception:
+        n_shards = 64
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
 
     def fn(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(seq_col, "ascending")])
-        g = group.take(idx)
+        group = group.drop_columns(["_shard"])
+        idx = pc.sort_indices(
+            group, sort_keys=[(key_col, "ascending"), (seq_col, "ascending")]
+        )
+        g = group.take(idx).combine_chunks()
         t = pc.cast(pc.cast(g[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        viol = int((np.diff(t) < 0).sum()) if len(t) > 1 else 0
+        codes, _ = pd.factorize(g[key_col].to_pandas(), sort=False)
+        n = len(t)
+        newk = np.ones(n, dtype=bool)
+        if n > 1:
+            newk[1:] = codes[1:] != codes[:-1]
+        # a regression only counts within a key: mask out key boundaries
+        reg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            reg[1:] = (np.diff(t) < 0) & ~newk[1:]
+        key_first = np.flatnonzero(newk)
+        viol = np.add.reduceat(reg, key_first) if n else np.array([], np.int64)
         return pa.table(
             {
-                key_col: g[key_col].slice(0, 1),
-                "violations": pa.array([viol], pa.int64()),
+                key_col: g[key_col].take(pa.array(key_first, pa.int64())),
+                "violations": pa.array(viol, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("_shard").map_groups(fn, batch_format="pyarrow")
 
 
 def power_join_projection(

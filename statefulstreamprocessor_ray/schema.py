@@ -8,6 +8,7 @@ seconds) and ISO-8601 strings parse as UTC. We express it vectorized over Arrow.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -85,11 +86,35 @@ def normalize_epoch_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return out
 
 
+_ISO_OFFSET_RE = r"([Zz]|[+-][0-9]{2}:?[0-9]{2}(:[0-9]{2})?)$"
+
+
 def normalize_iso_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """ISO-8601 strings -> UTC epoch seconds (float), the string branch of
-    ``extract_time`` (``local_stream_buffer.py:78``)."""
-    ts = pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S", unit="us", error_is_null=True)
-    return pc.divide(pc.cast(ts, pa.int64()).cast(pa.float64()), float(US))
+    ``extract_time`` (``local_stream_buffer.py:77``).
+
+    fromisoformat parity: fractional seconds are kept, and a trailing UTC
+    offset is parsed-then-DISCARDED — the reference does
+    ``fromisoformat(x).replace(tzinfo=pytz.UTC).timestamp()``, which
+    OVERRIDES whatever offset the string carried and reads the wall-clock
+    fields as UTC — so we strip the offset suffix and parse naive.
+    Unparseable strings become null (the reference raises; null is this
+    engine's documented column-oriented divergence)."""
+    import pandas as pd
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    stripped = pc.replace_substring_regex(arr, pattern=_ISO_OFFSET_RE, replacement="")
+    # pandas' ISO8601 fast path: vectorized C parser, fractional seconds and
+    # date-only forms included; errors coerce to NaT
+    ts = pd.to_datetime(stripped.to_pandas(), format="ISO8601", errors="coerce")
+    mask = ts.isna().to_numpy()
+    # float-division parity with datetime.timestamp(): the reference divides
+    # TOTAL MICROSECONDS by 1e6 (timedelta.total_seconds()); ns/1e9 rounds
+    # differently in float64 (…1230001 vs …123)
+    us = ts.astype("int64").to_numpy() // 1000
+    secs = us.astype(np.float64) / 1e6
+    return pa.array(np.where(mask, np.nan, secs), pa.float64(), mask=mask)
 
 
 def ts_to_us(arr: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -516,18 +516,49 @@ def asof_join_tagged(
     left_cols: Sequence[str] = ("turn_idx", "text"),
     right_cols: Sequence[str] = ("text",),
     side_col: str = "stream_side",
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Per-key as-of join: each left record (side 0) matched with the latest
     right record (side 1) at-or-before its timestamp; ties among right records
-    resolve to the last in (ts, tie) order. Vectorized searchsorted per group
-    (the ``merge_asof`` pattern from the as-of join playbook)."""
+    resolve to the last in (ts, tie) order.
+
+    Physical plan: the same ``_shard = hash(key) % P`` exchange as
+    ``ordered_join_events`` (ONE task per shard, not one per key — per-group
+    task overhead is the millions-of-keys trap), then a single vectorized
+    multi-key as-of inside each shard: sort by (key, ts, tie), then one
+    merged lexsort of right rows and left probes counts, for every probe,
+    the right rows lexicographically at-or-before it — a segmented
+    ``searchsorted`` across ALL keys at once."""
+    import pandas as pd
+
+    if n_shards is None:
+        try:
+            import ray as _ray
+
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+        except Exception:
+            n_shards = 64
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
 
     def fn(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_shard"])
         idx = pc.sort_indices(
-            group, sort_keys=[(ts_col, "ascending"), (tie_col, "ascending")]
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                (tie_col, "ascending"),
+            ],
         )
         group = group.take(idx).combine_chunks()
         side = group[side_col].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(group[key_col].to_pandas(), sort=False)
         t = pc.cast(pc.cast(group[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
@@ -542,8 +573,24 @@ def asof_join_tagged(
             for c in right_cols:
                 cols[f"r_{c}"] = pa.array([None] * len(li), group.schema.field(c).type)
             return pa.table(cols)
-        pos = np.searchsorted(t[ri], t[li], side="right") - 1
-        matched = pos >= 0
+        # merged lexsort: rights sort BEFORE probes on equal (key, ts)
+        # (flag 0 < 1), so a probe's rights-before count is exactly the
+        # number of right rows with (k, t) <= (k_probe, t_probe) — the
+        # side='right' searchsorted, segmented per key, in one pass
+        k_all = np.concatenate([codes[ri], codes[li]])
+        t_all = np.concatenate([t[ri], t[li]])
+        flag = np.concatenate(
+            [np.zeros(len(ri), np.int8), np.ones(len(li), np.int8)]
+        )
+        order = np.lexsort((flag, t_all, k_all))
+        rights_before = np.cumsum(flag[order] == 0)
+        probe_rank = np.empty(len(order), np.int64)
+        probe_rank[order] = np.arange(len(order))
+        count = rights_before[probe_rank[len(ri):]]  # per left probe
+        # count includes rights of EARLIER keys too; matched iff the
+        # count-1-th right row belongs to the probe's own key
+        pos = count - 1
+        matched = (count > 0) & (codes[ri][np.clip(pos, 0, None)] == codes[li])
         rt_full = group.take(pa.array(ri[np.clip(pos, 0, None)], pa.int64()))
         null_mask = pa.array(~matched)
         cols["r_ts"] = pc.if_else(
@@ -556,7 +603,8 @@ def asof_join_tagged(
             )
         return pa.table(cols)
 
-    return tagged.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+    sharded = tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("_shard").map_groups(fn, batch_format="pyarrow")
 
 
 def ordered_join(

@@ -30,6 +30,8 @@ def _to_matrix(col) -> np.ndarray:
     per-row to_pylist() Pythonization."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):  # e.g. Ray's ArrowTensorArray
+        return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
     if col.null_count or len(col) == 0:
         return np.asarray(col.to_pylist(), dtype=np.float64)  # slow, rare path
     if pa.types.is_fixed_size_list(col.type):

@@ -97,57 +97,114 @@ def assign_sliding(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _session_shards(ds: ray.data.Dataset, key_col: str, n_shards: int | None):
+    """(sharded dataset, shard-group fn wrapper): the ordered-join `_shard`
+    exchange — hash(key) % P, ONE task per shard — instead of one task per
+    key (the per-group-overhead trap at millions of keys)."""
+    import pandas as pd
+
+    if n_shards is None:
+        try:
+            import ray as _ray
+
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+        except Exception:
+            n_shards = 64
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
+
+    return ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _session_breaks(group: pa.Table, gap_us: int, key_col: str, ts_col: str):
+    """Sort a shard by (key, ts) and return (sorted group, ts array, per-row
+    key codes, new-session mask, new-key mask) — the segmented session scan
+    across ALL of the shard's keys in one vectorized pass."""
+    import pandas as pd
+
+    idx = pc.sort_indices(
+        group, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+    )
+    group = group.take(idx).combine_chunks()
+    t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(group[key_col].to_pandas(), sort=False)
+    n = len(t)
+    newk = np.ones(n, dtype=bool)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        newk[1:] = codes[1:] != codes[:-1]
+        new[1:] = newk[1:] | (np.diff(t) > gap_us)
+    return group, t, codes, new, newk
+
+
 def assign_session_ids(
-    ds: ray.data.Dataset, gap_s: float, key_col: str = "conv_id", ts_col: str = "ts"
+    ds: ray.data.Dataset,
+    gap_s: float,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Per-key session windows: a new session starts when the gap to the
-    previous event exceeds ``gap_s`` (numpy cumsum inside map_groups)."""
+    previous event exceeds ``gap_s``. Session ids restart at 0 per key;
+    the whole shard is scanned in one numpy pass (no per-key tasks)."""
     gap_us = int(gap_s * US)
 
     def fn(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
-        group = group.take(idx)
-        t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
-        new = np.ones(len(t), dtype=bool)
-        if len(t) > 1:
-            new[1:] = np.diff(t) > gap_us
-        sid = np.cumsum(new) - 1
-        return group.append_column("session_id", pa.array(sid, pa.int64()))
+        group = group.drop_columns(["_shard"])
+        group, t, codes, new, newk = _session_breaks(group, gap_us, key_col, ts_col)
+        sid = np.cumsum(new) - 1  # global session ordinal over the shard
+        # rebase per key: subtract each key's first session ordinal
+        key_counts = np.diff(np.append(np.flatnonzero(newk), len(t)))
+        base = np.repeat(sid[newk], key_counts)
+        return group.append_column("session_id", pa.array(sid - base, pa.int64()))
 
-    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+    return _session_shards(ds, key_col, n_shards).groupby("_shard").map_groups(
+        fn, batch_format="pyarrow"
+    )
 
 
 def session_windows(
-    ds: ray.data.Dataset, gap_s: float, key_col: str = "conv_id", ts_col: str = "ts"
+    ds: ray.data.Dataset,
+    gap_s: float,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Per-session summaries (key, session_id, session_start, session_end, n_rows),
-    computed in the same per-key pass as the assignment (no second shuffle)."""
+    computed in the same per-shard pass as the assignment (no second shuffle)."""
     gap_us = int(gap_s * US)
 
     def fn(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
-        group = group.take(idx)
-        t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
-        new = np.ones(len(t), dtype=bool)
-        if len(t) > 1:
-            new[1:] = np.diff(t) > gap_us
-        starts = t[new]
-        ends = np.maximum.reduceat(t, np.flatnonzero(new))
-        counts = np.diff(np.append(np.flatnonzero(new), len(t)))
-        key_rep = group[key_col].take(
-            pa.array(np.zeros(len(starts), dtype=np.int64))
-        )  # key-typed repeat
+        group = group.drop_columns(["_shard"])
+        group, t, codes, new, newk = _session_breaks(group, gap_us, key_col, ts_col)
+        sess_first = np.flatnonzero(new)  # first row of each session
+        starts = t[sess_first]
+        ends = np.maximum.reduceat(t, sess_first) if len(t) else np.array([], np.int64)
+        counts = np.diff(np.append(sess_first, len(t)))
+        # per-key session ids: arange rebased at each key's first session
+        first_sess_of_key = np.flatnonzero(newk[sess_first])
+        sess_per_key = np.diff(np.append(first_sess_of_key, len(sess_first)))
+        sid = np.arange(len(sess_first)) - np.repeat(
+            first_sess_of_key, sess_per_key
+        )
         return pa.table(
             {
-                key_col: key_rep,
-                "session_id": pa.array(np.arange(len(starts)), pa.int64()),
+                key_col: group[key_col].take(pa.array(sess_first, pa.int64())),
+                "session_id": pa.array(sid, pa.int64()),
                 "session_start_us": pa.array(starts, pa.int64()),
                 "session_end_us": pa.array(ends, pa.int64()),
                 "n_rows": pa.array(counts, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+    return _session_shards(ds, key_col, n_shards).groupby("_shard").map_groups(
+        fn, batch_format="pyarrow"
+    )
 
 
 def interpolation_join_group(

@@ -1,0 +1,218 @@
+"""Differential tests for the shard-vectorized multi-key operators (round-2
+rewrites of the per-key map_groups paths): asof join, session windows,
+order_check, and the max_df hot-shingle cap in the dedup blocking."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from statefulstreamprocessor_ray.functions.ops import order_check
+from statefulstreamprocessor_ray.stages import dedup
+from statefulstreamprocessor_ray.stages.join import asof_join_tagged
+from statefulstreamprocessor_ray.stages.windows import (
+    assign_session_ids,
+    session_windows,
+)
+
+
+def _random_tagged(n_keys=40, rows_per_key=30, seed=5):
+    rng = np.random.default_rng(seed)
+    n = n_keys * rows_per_key
+    key = np.repeat([f"k{i:04d}" for i in range(n_keys)], rows_per_key)
+    ts = rng.integers(0, 10**9, size=n) * 1000  # us
+    side = rng.integers(0, 2, size=n).astype(np.int8)
+    return pd.DataFrame(
+        {
+            "conv_id": key,
+            "ts": pd.to_datetime(ts, unit="us"),
+            "turn_idx": np.arange(n, dtype=np.int64),
+            "text": [f"t{i}" for i in range(n)],
+            "stream_side": side,
+        }
+    )
+
+
+def _reference_asof(df):
+    """Per-key python reference: latest right at-or-before each left, right
+    ties resolved to the last in (ts, turn_idx) order."""
+    out = []
+    for key, g in df.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        rights = g[g.stream_side == 1]
+        for _, row in g[g.stream_side == 0].iterrows():
+            elig = rights[rights.ts <= row.ts]
+            r = elig.iloc[-1] if len(elig) else None
+            out.append(
+                (
+                    key,
+                    row.ts,
+                    row.turn_idx,
+                    row.text,
+                    r.ts if r is not None else pd.NaT,
+                    r.text if r is not None else None,
+                )
+            )
+    ref = pd.DataFrame(
+        out, columns=["conv_id", "l_ts", "l_turn_idx", "l_text", "r_ts", "r_text"]
+    )
+    return ref.sort_values(["conv_id", "l_ts", "l_turn_idx"]).reset_index(drop=True)
+
+
+def test_asof_join_multikey_differential(ray_session):
+    df = _random_tagged()
+    ds = ray.data.from_pandas(df)
+    got = (
+        asof_join_tagged(ds, n_shards=7)
+        .to_pandas()
+        .sort_values(["conv_id", "l_ts", "l_turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = _reference_asof(df)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_asof_join_no_rights_key(ray_session):
+    # a key whose rows are all left-side must emit all-null right columns
+    df = _random_tagged(n_keys=3, rows_per_key=10)
+    df.loc[df.conv_id == "k0000", "stream_side"] = 0
+    ds = ray.data.from_pandas(df)
+    got = asof_join_tagged(ds, n_shards=2).to_pandas()
+    k0 = got[got.conv_id == "k0000"]
+    assert len(k0) == 10 and k0.r_text.isna().all()
+
+
+def _reference_sessions(df, gap_s):
+    rows = []
+    for key, g in df.groupby("user_id"):
+        t = np.sort(g.ts_us.to_numpy())
+        new = np.ones(len(t), bool)
+        new[1:] = np.diff(t) > gap_s * 1_000_000
+        first = np.flatnonzero(new)
+        for sid, (s, e) in enumerate(
+            zip(first, np.append(first[1:], len(t)))
+        ):
+            rows.append((key, sid, t[s], t[e - 1], e - s))
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["user_id", "session_id", "session_start_us", "session_end_us", "n_rows"],
+        )
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_session_windows_multikey_differential(ray_session):
+    rng = np.random.default_rng(11)
+    n_keys, per = 50, 40
+    df = pd.DataFrame(
+        {
+            "user_id": np.repeat(np.arange(n_keys), per),
+            "ts_us": rng.integers(0, 3600 * 10**6, size=n_keys * per),
+        }
+    )
+    df["ts"] = pd.to_datetime(df.ts_us, unit="us")
+    ds = ray.data.from_pandas(df[["user_id", "ts"]])
+    got = (
+        session_windows(ds, gap_s=120.0, key_col="user_id", n_shards=9)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    want = _reference_sessions(df, 120.0)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # assignment agrees with the summary: max sid per key + 1 == session count
+    assigned = assign_session_ids(
+        ds, gap_s=120.0, key_col="user_id", n_shards=9
+    ).to_pandas()
+    per_key = assigned.groupby("user_id").session_id.max() + 1
+    want_counts = want.groupby("user_id").session_id.max() + 1
+    assert per_key.sort_index().tolist() == want_counts.sort_index().tolist()
+
+
+def test_order_check_multikey(ray_session):
+    # key 0: sorted (0 violations); key 1: two regressions in seq order
+    df = pd.DataFrame(
+        {
+            "user_id": [0, 0, 0, 1, 1, 1, 1],
+            "event_id": [0, 1, 2, 0, 1, 2, 3],
+            "ts_us": [10, 20, 30, 50, 40, 60, 55],
+        }
+    )
+    df["ts"] = pd.to_datetime(df.ts_us, unit="us")
+    got = (
+        order_check(ray.data.from_pandas(df[["user_id", "event_id", "ts"]]))
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert got.violations.tolist() == [0, 2]
+
+
+def test_max_df_hot_shingle_cap(ray_session):
+    # every doc shares one ubiquitous shingle; only docs 0/1 share a rare one.
+    # Without the cap the hot shingle alone creates O(n^2) candidate pairs;
+    # with max_df it is skipped (counted), and the rare-shingle pair survives.
+    hot = "the common boilerplate line"
+    docs = [f"{hot} unique{i} filler{i} tail{i}" for i in range(60)]
+    docs[0] = f"{hot} shared rare sentence here"
+    docs[1] = f"{hot} shared rare sentence there"
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": docs})
+    )
+    capped = dedup.ngram_jaccard_pairs(ds, threshold=0.3, k=3, max_df=10)
+    meta = {k.decode(): v.decode() for k, v in capped.schema.metadata.items()}
+    assert int(meta["hot_keys_skipped"]) >= 1
+    pairs = list(zip(capped["doc_a"].to_pylist(), capped["doc_b"].to_pylist()))
+    assert (0, 1) in pairs
+    # uncapped finds the same top pair but counts no hot keys
+    full = dedup.ngram_jaccard_pairs(ds, threshold=0.3, k=3)
+    meta_full = {k.decode(): v.decode() for k, v in full.schema.metadata.items()}
+    assert int(meta_full["hot_keys_skipped"]) == 0
+
+
+def test_minhash_distributed_verify_matches_direct_jaccard(ray_session):
+    # near-dup corpus: doc pairs (2i, 2i+1) differ by one word
+    base = [
+        " ".join(f"w{j}_{i}" for j in range(12)) for i in range(10)
+    ]
+    texts = []
+    for i, b in enumerate(base):
+        texts.append(b)
+        texts.append(b.replace(f"w5_{i}", "CHANGED"))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64), "text": texts})
+    )
+    got = dedup.minhash_lsh_pairs(ds, threshold=0.5, k=3).to_pandas()
+    # every (2i, 2i+1) pair is a near-dup with jaccard ~ (10-3*k)/(10+3*k)...
+    # just assert the pair set and that jaccard_r equals the exact value
+    expect_pairs = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert set(zip(got.doc_a, got.doc_b)) == expect_pairs
+    exact = dedup.ngram_jaccard_pairs(ds, threshold=0.5, k=3).to_pandas()
+    assert np.allclose(got.jaccard_r, exact.jaccard.round(6))
+
+
+def test_embedding_dup_ivf_recall_high_threshold(ray_session):
+    # clustered vectors with tiny perturbations: ivf multi-assign must find
+    # the same >=0.99 pairs as the exact path
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16))
+    rows, ids = [], []
+    for i in range(120):
+        c = centers[i % 8]
+        rows.append(c + rng.standard_normal(16) * (0.001 if i % 3 == 0 else 0.5))
+        ids.append(i)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [r.astype("float32") for r in rows]})
+    ds = ray.data.from_pandas(df)
+    exact = dedup.embedding_dup_pairs(ds, threshold=0.99, mode="exact").to_pandas()
+    ivf = dedup.embedding_dup_pairs(
+        ds, threshold=0.99, mode="ivf", n_list=8, n_assign=2, seed=23
+    ).to_pandas()
+    assert len(exact) > 0
+    got = set(zip(ivf.vec_a, ivf.vec_b))
+    want = set(zip(exact.vec_a, exact.vec_b))
+    assert got == want
