@@ -180,10 +180,29 @@ def bench_streaming_windows(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def _silence_schema_hash_noise() -> None:
+    """Root cause of the 'Failed to hash the schemas (for deduplication):
+    unhashable type: dict' spam: pyarrow's Schema.__hash__ raises whenever
+    the schema carries key/value METADATA (it hashes the metadata dict), and
+    the testdata parquet files embed pandas metadata — so Ray's
+    unify_schemas() logs this benign line on every unify. Filter exactly
+    that message so real ray.data warnings stay visible."""
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_Drop())
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
 
+    _silence_schema_hash_noise()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

@@ -49,16 +49,33 @@ HOUR_US = 3_600 * US
 SLIDE_US = 900 * US
 
 
+def _strip_meta(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop parquet-embedded pandas schema metadata at the read. It is dead
+    weight on every block, and pyarrow's Schema.__hash__ RAISES on schemas
+    with metadata ('unhashable type: dict') — which is what makes Ray's
+    unify_schemas() log 'Failed to hash the schemas (for deduplication)' on
+    every unify. Stripping here removes the noise at its root."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _strip_meta(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    )
 
 
 def _documents(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _strip_meta(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    )
 
 
 def _embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _strip_meta(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _purchase_click_spec() -> StreamSpec:

@@ -101,19 +101,32 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
         if f.endswith(".parquet")
     )
     fingerprint = [[f, os.path.getsize(f)] for f in files]
+    tail_from: int | None = None
     if os.path.exists(marker):
         with open(marker) as m:
             done = json.load(m)
-        if (
-            done["fingerprint"] == fingerprint
-            and done["n_shards"] == cfg.n_shards
+        layout_ok = (
+            done["n_shards"] == cfg.n_shards
             and done.get("epoch_by", "ts") == cfg.epoch_by
             and done.get("columns") == sorted(
                 {cfg.spec.key_col, cfg.spec.ts_col, cfg.spec.tie_col, "stream_side",
                  *cfg.payload_cols}
             )
-        ):
+        )
+        if layout_ok and done["fingerprint"] == fingerprint:
             return part_dir
+        if (
+            layout_ok
+            and cfg.epoch_by == "arrival"
+            and len(fingerprint) > len(done["fingerprint"])
+            and done["fingerprint"] == fingerprint[: len(done["fingerprint"])]
+        ):
+            # follow-the-tail: the previous file set is an untouched prefix
+            # of the current one — partition ONLY the new files, as new
+            # epochs appended after the existing sequence. (New files are
+            # grouped files_per_epoch at a time from the tail start; an
+            # earlier partial trailing group keeps its original epoch.)
+            tail_from = len(done["fingerprint"])
 
     spec, n_shards = cfg.spec, cfg.n_shards
     span_us = int(cfg.epoch_duration_s * US)
@@ -129,7 +142,9 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
 
     def tag_and_partition(batch: pa.Table, fixed_epoch: int | None = None) -> pa.Table:
         tagged = tag_streams_batch(batch, spec).select(keep_cols)
-        keys = np.asarray(tagged[spec.key_col].to_pylist(), dtype=object)
+        # to_pandas keeps strings as one block for hash_array — to_pylist
+        # would Pythonize every key per batch on the wide phase-0 path
+        keys = tagged[spec.key_col].to_pandas().to_numpy()
         shard = (stable_key_hash(keys) % n_shards).astype(np.int32)
         if fixed_epoch is None:
             ts = pc.cast(pc.cast(tagged[spec.ts_col], pa.timestamp("us")), pa.int64())
@@ -146,6 +161,42 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
 
     tmp_dir = os.path.join(cfg.work_dir, "_partition_tmp")
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    if tail_from is not None:
+        new_files = files[tail_from:]
+        existing = list_epochs(part_dir)
+        next_epoch = (existing[-1] + 1) if existing else 0
+        n_groups = (len(new_files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch
+        for g in range(n_groups):
+            group = new_files[g * cfg.files_per_epoch : (g + 1) * cfg.files_per_epoch]
+            ds = ray.data.read_parquet(group).map_batches(
+                lambda b, fe=next_epoch + g: tag_and_partition(b, fe),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ds.write_parquet(tmp_dir, partition_cols=["shard", "epoch"])
+        # move each freshly written epoch dir into the live layout; the
+        # marker is rewritten only after every move, so a crash mid-append
+        # re-runs the (idempotent) tail partition on the next invocation
+        for sd in sorted(os.listdir(tmp_dir)):
+            if not sd.startswith("shard="):
+                continue
+            os.makedirs(os.path.join(part_dir, sd), exist_ok=True)
+            for ed in sorted(os.listdir(os.path.join(tmp_dir, sd))):
+                os.replace(
+                    os.path.join(tmp_dir, sd, ed), os.path.join(part_dir, sd, ed)
+                )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        with open(marker, "w") as m:
+            json.dump(
+                {
+                    "fingerprint": fingerprint,
+                    "n_shards": cfg.n_shards,
+                    "epoch_by": cfg.epoch_by,
+                    "columns": sorted(set(keep_cols)),
+                },
+                m,
+            )
+        return part_dir
     if cfg.epoch_by == "arrival":
         # one epoch per input-file group, in arrival order
         for e in range(0, (len(files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch):
