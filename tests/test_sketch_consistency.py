@@ -49,3 +49,29 @@ def test_simhash_batch_matches_single_doc(texts):
     by_id = dict(zip(out["doc_id"], out["simhash"]))
     for doc_id, text in enumerate(texts):
         assert int(by_id[doc_id]) == stage.simhash(text)
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts=texts_strategy)
+def test_simhash_md5_mode_batch_matches_single_doc(texts):
+    # the SQL-oracle hash mode goes through the same reduceat path
+    stage = SimHashStage(k=2, hash_fn="md5")
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = stage(batch)
+    by_id = dict(zip(out["doc_id"], out["simhash"]))
+    for doc_id, text in enumerate(texts):
+        assert int(by_id[doc_id]) == stage.simhash(text)
+
+
+def test_md5_hash_matches_duckdb_md5_number_lower():
+    import duckdb
+
+    from statefulstreamprocessor_ray.stages.dedup import _md5_u64
+
+    vals = ["abc", "hello world", "", "ünïcode", "a b"]
+    got = _md5_u64(vals)
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT md5_number_lower(?)", [v]).fetchone()[0] for v in vals
+    ]
+    assert list(got) == want
