@@ -309,6 +309,7 @@ def salted_hot_key_join(
     delta_us: int | None,
     chunk_rows: int = 250_000,
     side_col: str = "stream_side",
+    plan: str = "timecut",
 ) -> ray.data.Dataset:
     """Exact parallel join of hot (skewed) keys by time-chunking.
 
@@ -329,11 +330,24 @@ def salted_hot_key_join(
     Crossover note (measured): the vectorized replay runs ~10M rows/s/core,
     so a key only bottlenecks its shard once its rows rival (total rows /
     shards) x ~constant — on one node, salting an 8M-row hot key among 10M
-    total LOSES (extra count pass + two filter scans + the step-1 per-key
-    planning gather outweigh the serial replay it removes). Enable
-    ``hot_key_threshold`` for 10^8+-row keys or expensive ``join_fn``s, where
-    serial replay minutes dominate; the step-1 planning gather (one sort of
-    the key's events) is then the remaining serial term.
+    total LOSES (extra count pass + two filter scans outweigh the serial
+    replay it removes). Enable ``hot_key_threshold`` for 10^8+-row keys or
+    expensive ``join_fn``s, where serial replay minutes dominate.
+
+    ``plan``: step 1 has two implementations.
+    - ``"timecut"`` (default, SURVEY §4's time-cut design): NO per-key
+      gather anywhere. Three map_batches passes — (a) per-key count/min/max
+      -> uniform time cuts, (b) per-(key, chunk, side) max-ts partials ->
+      per-cut carry thresholds ``thr[j] = min over sides of (that side's
+      last ts before cut j)`` (= ts at ``carry_start``; prefix maxes are
+      non-decreasing so thresholds are sorted), (c) chunk assignment +
+      forward warm-up duplication ``j in (chunk, hi]`` via two
+      searchsorteds. The warm-up is a SUPERSET of the exact carry suffix
+      (ties on ts included), which is safe: a longer warm-up replays to the
+      identical state at the cut, and warm-triggered pairs are dropped.
+    - ``"gather"``: one task per hot key sorts the key's rows and computes
+      exact ``carry_start`` suffixes — simpler, but a 10^9-row key holds
+      10^9 rows in one planning task (kept for differential testing).
     """
     from statefulstreamprocessor_ray.state.vectorized import (
         carry_start,
@@ -400,7 +414,144 @@ def salted_hot_key_join(
         cols["_local_seq"] = pa.array(np.arange(len(l), dtype=np.int64))
         return pa.table(cols)
 
-    planned = hot_events.groupby(key_col).map_groups(plan_chunks, batch_format="pyarrow")
+    import pandas as _pd
+    import ray as _ray2
+
+    NEG = -(2**62)
+
+    def _ts_i64(b: pa.Table) -> np.ndarray:
+        return pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+    def _timecut_plan(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # pass (a): per-key count/min/max ts — tiny partials, driver merge
+        def p_stats(b: pa.Table) -> pa.Table:
+            df = _pd.DataFrame({"k": b[key_col].to_pandas(), "t": _ts_i64(b)})
+            g = df.groupby("k")["t"].agg(["count", "min", "max"]).reset_index()
+            return pa.table(
+                {
+                    "k": pa.array(g["k"]),
+                    "n": pa.array(g["count"].to_numpy(np.int64)),
+                    "tmin": pa.array(g["min"].to_numpy(np.int64)),
+                    "tmax": pa.array(g["max"].to_numpy(np.int64)),
+                }
+            )
+
+        st = (
+            ds.map_batches(p_stats, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("k")
+            .agg(n=("n", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max"))
+        )
+        cuts: dict = {}
+        for k, row in st.iterrows():
+            n_chunks = max(1, -(-int(row.n) // chunk_rows))
+            cuts[k] = (
+                np.linspace(row.tmin, row.tmax, n_chunks + 1)[1:-1].astype(np.int64)
+                if n_chunks > 1
+                else np.array([], np.int64)
+            )
+        cuts_ref = _ray2.put(cuts)
+
+        # pass (b): per (key, chunk, side) max ts — partials, driver merge
+        def p_side_max(b: pa.Table) -> pa.Table:
+            cc = _ray2.get(cuts_ref)
+            t = _ts_i64(b)
+            keys = b[key_col].to_pandas().to_numpy()
+            side = b[side_col].to_numpy(zero_copy_only=False)
+            out_k, out_c, out_s, out_t = [], [], [], []
+            for k in _pd.unique(keys):
+                m = keys == k
+                c = np.searchsorted(cc[k], t[m], side="right")
+                df = _pd.DataFrame({"c": c, "s": side[m], "t": t[m]})
+                g = df.groupby(["c", "s"])["t"].max().reset_index()
+                out_k.extend([k] * len(g))
+                out_c.append(g["c"].to_numpy(np.int64))
+                out_s.append(g["s"].to_numpy(np.int64))
+                out_t.append(g["t"].to_numpy(np.int64))
+            return pa.table(
+                {
+                    "k": pa.array(out_k),
+                    "c": pa.array(
+                        np.concatenate(out_c) if out_c else np.array([], np.int64)
+                    ),
+                    "s": pa.array(
+                        np.concatenate(out_s) if out_s else np.array([], np.int64)
+                    ),
+                    "t": pa.array(
+                        np.concatenate(out_t) if out_t else np.array([], np.int64)
+                    ),
+                }
+            )
+
+        sm = (
+            ds.map_batches(p_side_max, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["k", "c", "s"])["t"]
+            .max()
+            .reset_index()
+        )
+        thr: dict = {}
+        for k, cut_arr in cuts.items():
+            n_chunks = len(cut_arr) + 1
+            pm = np.full((2, n_chunks), NEG, np.int64)  # per-side per-chunk max
+            sub = sm[sm["k"] == k]
+            pm[sub["s"].to_numpy(np.int64), sub["c"].to_numpy(np.int64)] = sub[
+                "t"
+            ].to_numpy(np.int64)
+            # prefix max per side over chunks < j, then min across sides
+            pref = np.maximum.accumulate(pm, axis=1)
+            thr[k] = np.minimum(pref[0, : n_chunks - 1], pref[1, : n_chunks - 1])
+
+        plan_ref = _ray2.put((cuts, thr))
+
+        # pass (c): chunk assignment + forward warm-up duplication
+        def p_assign(b: pa.Table) -> pa.Table:
+            cc, tt = _ray2.get(plan_ref)
+            t = _ts_i64(b)
+            keys = b[key_col].to_pandas().to_numpy()
+            pieces = []
+            for k in _pd.unique(keys):
+                rows = np.flatnonzero(keys == k)
+                c = np.searchsorted(cc[k], t[rows], side="right").astype(np.int64)
+                sub = b.take(pa.array(rows, pa.int64()))
+                real = sub.append_column("_chunk", pa.array(c))
+                real = real.append_column(
+                    "_warm", pa.array(np.zeros(len(rows), np.int8))
+                )
+                pieces.append(real)
+                # dup into chunks j in (c, hi]: thr is sorted (prefix maxes
+                # are non-decreasing), so hi = #thresholds <= ts
+                hi = np.searchsorted(tt[k], t[rows], side="right").astype(np.int64)
+                counts = np.maximum(hi - c, 0)
+                total = int(counts.sum())
+                if total:
+                    cum = np.concatenate(([0], np.cumsum(counts)))
+                    rep = np.repeat(np.arange(len(rows)), counts)
+                    dup_j = (
+                        np.arange(total) - np.repeat(cum[:-1], counts)
+                        + np.repeat(c + 1, counts)
+                    )
+                    dup = sub.take(pa.array(rep, pa.int64()))
+                    dup = dup.append_column("_chunk", pa.array(dup_j))
+                    dup = dup.append_column(
+                        "_warm", pa.array(np.ones(total, np.int8))
+                    )
+                    pieces.append(dup)
+            if not pieces:
+                e = b.append_column("_chunk", pa.array([], pa.int64()))
+                return e.append_column("_warm", pa.array([], pa.int8()))
+            return pa.concat_tables(pieces)
+
+        return ds.map_batches(p_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    if plan == "timecut":
+        planned = _timecut_plan(hot_events)
+    else:
+        planned = hot_events.groupby(key_col).map_groups(
+            plan_chunks, batch_format="pyarrow"
+        )
     chunked = planned.groupby([key_col, "_chunk"]).map_groups(
         replay_chunk, batch_format="pyarrow"
     ).materialize()  # consumed twice: per-chunk counts, then seq assignment
