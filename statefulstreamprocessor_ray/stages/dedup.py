@@ -624,6 +624,12 @@ def simhash_pairs(
         .to_pandas()
     )
     verified, n_hot = _split_hot_markers(verified)
+    if verified.empty:
+        # zero pairs anywhere -> Ray hands back a COLUMN-LESS empty frame
+        # (empty-Dataset schema loss); rebuild the shape explicitly
+        verified = pd.DataFrame(
+            {c: np.array([], np.int64) for c in ("doc_a", "doc_b", "hamming")}
+        )
     out = verified.drop_duplicates(["doc_a", "doc_b"])
     out = out.astype({"doc_a": np.int64, "doc_b": np.int64})
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

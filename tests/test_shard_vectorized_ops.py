@@ -216,3 +216,25 @@ def test_embedding_dup_ivf_recall_high_threshold(ray_session):
     got = set(zip(ivf.vec_a, ivf.vec_b))
     want = set(zip(exact.vec_a, exact.vec_b))
     assert got == want
+
+
+def test_dedup_paths_zero_match_inputs(ray_session):
+    # Ray loses the schema of zero-row results (column-less frames on the
+    # driver); every dedup entry point must survive empty and no-dup corpora
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "text": pd.Series([], dtype="object")}
+        )
+    )
+    nodup = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [f"totally unique doc number {i} with words {i * 7}" for i in range(5)],
+            }
+        )
+    )
+    for ds in (empty, nodup):
+        assert dedup.simhash_pairs(ds).num_rows == 0
+        assert dedup.minhash_lsh_pairs(ds).num_rows == 0
+        assert dedup.ngram_jaccard_pairs(ds).num_rows == 0
