@@ -510,11 +510,13 @@ class SimHashStage:
         if nonzero.any():
             # set-bit counts per doc per position: unpackbits to a (n, 64)
             # little-endian bit matrix, then one np.add.reduceat per batch
+            # (accumulate straight into int64 — an .astype(int64) of the bit
+            # matrix would copy 8x the bytes and dominated this stage)
             bits = np.unpackbits(
                 flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            ).astype(np.int64)
+            )
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonzero]
-            ones = np.add.reduceat(bits, starts, axis=0)  # (n_docs_nz, 64)
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
             votes = 2 * ones - counts[nonzero][:, None]  # ones - zeros
             codes = ((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
                 axis=1
