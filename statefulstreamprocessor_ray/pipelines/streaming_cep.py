@@ -62,6 +62,7 @@ class StreamingCepConfig:
     event_col: str = "event_type"
     tie_col: str = "event_id"
     flush_at_end: bool = True
+    intermediate_compression: str = "none"  # see streaming.py note
 
     def __post_init__(self):
         if self.mode == "absence":
@@ -146,7 +147,9 @@ def partition_cep_input(cfg: StreamingCepConfig) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     ds = ray.data.read_parquet(files, columns=[key_col, ts_col, event_col, tie_col])
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp, partition_cols=["shard", "epoch"]
+        tmp,
+        partition_cols=["shard", "epoch"],
+        compression=cfg.intermediate_compression,
     )
     shutil.rmtree(part_dir, ignore_errors=True)
     os.replace(tmp, part_dir)

@@ -56,6 +56,7 @@ class StreamingWindowConfig:
     # emit still-open windows after the last epoch (batch parity); False
     # leaves them in state for a future run over more input
     flush_at_end: bool = True
+    intermediate_compression: str = "none"  # see streaming.py note
     # "tumbling" | "sliding" | "session"
     window_kind: str = "tumbling"
     slide_s: float | None = None  # sliding only; each event joins size/slide windows
@@ -123,7 +124,9 @@ def partition_window_input(cfg: StreamingWindowConfig) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     ds = ray.data.read_parquet(files, columns=[key_col, ts_col, value_col])
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp, partition_cols=["shard", "epoch"]
+        tmp,
+        partition_cols=["shard", "epoch"],
+        compression=cfg.intermediate_compression,
     )
     shutil.rmtree(part_dir, ignore_errors=True)
     os.replace(tmp, part_dir)
