@@ -263,6 +263,69 @@ def list_epochs(part_dir: str) -> list[int]:
 
 
 @ray.remote
+def _dir_max_ts(path: str, ts_col: str) -> int:
+    """Max ts (us) of one (shard, epoch) partition dir, from parquet FOOTER
+    statistics only — no data pages are read."""
+    mx = -(2**62)
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(ts_col)
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(ci).statistics
+            if stats is not None and stats.has_min_max:
+                v = stats.max
+                if hasattr(v, "timestamp"):
+                    import calendar
+
+                    v = int(
+                        calendar.timegm(v.timetuple()) * US + v.microsecond
+                    )
+                mx = max(mx, int(v))
+    return mx
+
+
+def epoch_frontiers(part_dir: str, ts_col: str) -> dict:
+    """Per-(shard, epoch) RAW max ts from parquet footers, cached in a
+    sidecar (incremental: only dirs missing from the cache are scanned, so a
+    follow-the-tail append only pays for its new epochs).
+
+    This is what makes arrival-mode epochs pipelinable: the watermark gate
+    for epoch e+1 is min-over-shards of the running frontier after e, and a
+    shard's frontier equals the running RAW max ts of its partitions — rows
+    the gate drops (late: below the watermark <= every frontier; order
+    violations: below their key's frontier) can never raise the max, so the
+    whole watermark schedule is computable up-front from footer stats."""
+    cache_path = os.path.join(part_dir, "_epoch_frontiers.json")
+    cache: dict[str, int] = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+    missing = []
+    for sd in os.listdir(part_dir):
+        if not sd.startswith("shard="):
+            continue
+        for ed in os.listdir(os.path.join(part_dir, sd)):
+            if ed.startswith("epoch=") and f"{sd}/{ed}" not in cache:
+                missing.append(f"{sd}/{ed}")
+    if missing:
+        refs = [
+            _dir_max_ts.remote(os.path.join(part_dir, rel), ts_col)
+            for rel in missing
+        ]
+        for rel, mx in zip(missing, ray.get(refs)):
+            cache[rel] = int(mx)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    out: dict[tuple[int, int], int] = {}
+    for rel, mx in cache.items():
+        sd, ed = rel.split("/")
+        out[(int(sd.split("=")[1]), int(ed.split("=")[1]))] = mx
+    return out
+
+
+@ray.remote
 class JoinShardActor:
     """Owns per-key join state for one hash shard, across epochs.
 
@@ -572,41 +635,61 @@ class StreamingJoinJob:
         if max_epochs is not None:
             todo = todo[:max_epochs]
 
-        # Event-time epochs ("ts") never drop on the watermark gate (each
-        # epoch's rows are >= its start, which is >= the prior watermark), so
-        # the per-epoch input watermark is constant and every epoch can be
-        # submitted up-front: actor-task ordering pipelines each shard through
-        # its epochs independently — a straggler shard in epoch e no longer
-        # stalls other shards' epoch e+1 — while the driver still commits
-        # manifests strictly in order (exactly-once unchanged). Arrival mode
-        # needs the previous epoch's global min-frontier as the gate, so it
-        # keeps the barrier.
+        # BOTH epoch modes submit every epoch up-front: actor-task ordering
+        # pipelines each shard through its epochs independently — a straggler
+        # shard in epoch e no longer stalls other shards' epoch e+1 — while
+        # the driver still commits manifests strictly in order (exactly-once
+        # unchanged).
+        # - "ts" epochs never drop on the watermark gate (each epoch's rows
+        #   are >= its start >= the prior watermark), so the per-epoch input
+        #   watermark is constant.
+        # - "arrival" epochs need the previous epoch's global min-frontier as
+        #   the gate — but a shard's frontier equals the running RAW max ts
+        #   of its partitions (dropped rows can never raise it; see
+        #   epoch_frontiers), so the whole watermark schedule is precomputed
+        #   from parquet footer stats and the old per-epoch barrier is gone.
+        #   A consistency check in the commit loop re-derives each watermark
+        #   from the actors' reported frontiers and fails loudly on any
+        #   divergence.
         pending: dict[int, list] = {}
+        wm_for: dict[int, int] = {}
+        lateness_us = int(cfg.allowed_lateness_s * US)
         if cfg.epoch_by == "ts":
-            for epoch in todo:
-                pending[epoch] = [
-                    s.process_epoch.remote(
-                        epoch,
-                        os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
-                        cfg.out_dir,
-                        watermark,
-                    )
-                    for k, s in enumerate(shards)
-                ]
+            wm_for = {epoch: watermark for epoch in todo}
+        else:
+            fronts = epoch_frontiers(part_dir, cfg.spec.ts_col)
+            frontier = {k: -(2**62) for k in range(cfg.n_shards)}
+            for e in epochs:
+                if e <= last_committed:
+                    for k in frontier:
+                        frontier[k] = max(frontier[k], fronts.get((k, e), -(2**62)))
+            wm = watermark
+            for e in (e for e in epochs if e > last_committed):
+                wm_for[e] = wm
+                for k in frontier:
+                    frontier[k] = max(frontier[k], fronts.get((k, e), -(2**62)))
+                wm = max(wm, min(frontier.values()) - lateness_us)
         for epoch in todo:
-            parts = ray.get(
-                pending.pop(epoch)
-                if epoch in pending
-                else [
-                    s.process_epoch.remote(
-                        epoch,
-                        os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
-                        cfg.out_dir,
-                        watermark,
-                    )
-                    for k, s in enumerate(shards)
-                ]
-            )
+            pending[epoch] = [
+                s.process_epoch.remote(
+                    epoch,
+                    os.path.join(part_dir, f"shard={k}", f"epoch={epoch}"),
+                    cfg.out_dir,
+                    wm_for[epoch],
+                )
+                for k, s in enumerate(shards)
+            ]
+        for epoch in todo:
+            parts = ray.get(pending.pop(epoch))
+            if cfg.epoch_by == "arrival" and wm_for[epoch] != watermark:
+                # the precomputed schedule must reproduce the sequential
+                # watermark exactly (dropped rows never raise a frontier);
+                # divergence means an epoch was gated on the wrong watermark
+                # — abort BEFORE committing its manifest (exactly-once safe)
+                raise RuntimeError(
+                    f"watermark precompute diverged at epoch {epoch}: "
+                    f"scheduled {wm_for[epoch]}, sequential {watermark}"
+                )
             watermark = max(
                 watermark,
                 min(p["max_ts_us"] for p in parts) - int(cfg.allowed_lateness_s * US),

@@ -86,3 +86,45 @@ def test_arrival_mode_late_rows_dropped_and_counted(tmp_path):
     stats3 = StreamingJoinJob(cfg2).run()
     assert stats3["late_rows"] == 0
     assert stats3["order_violations"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_arrival_mode_crash_resume_with_pipelined_watermarks(tmp_path):
+    """The precomputed watermark schedule (footer-stats frontiers) must
+    survive a crash/resume: run 1 epoch, stop, resume — output and drop
+    counters equal the uninterrupted run, and the resumed run's schedule
+    agrees with the sequential consistency check."""
+    tbl = fixtures.transcripts_table(n_convs=10, turns_per_conv=40, seed=13)
+    df = tbl.to_pandas()
+    late_mask = (df.conv_id == "conv00000000") & (df.turn_idx < 10)
+    on_time = df[~late_mask].sort_values("ts")
+    late = df[late_mask]
+    third = len(on_time) // 2
+    path = _write_files(
+        tmp_path,
+        [
+            pa.Table.from_pandas(on_time.iloc[:third], preserve_index=False),
+            pa.Table.from_pandas(on_time.iloc[third:], preserve_index=False),
+            pa.Table.from_pandas(late, preserve_index=False),
+        ],
+    )
+    cfg_a = _cfg(tmp_path, path, "resume")
+    j = StreamingJoinJob(cfg_a)
+    s1 = j.run(max_epochs=1)
+    assert s1["epochs_processed"] == 1
+    s2 = StreamingJoinJob(cfg_a).run()  # resume the remaining epochs
+    assert s2["epochs_processed"] == 2
+
+    cfg_b = _cfg(tmp_path, path, "oneshot")
+    s_full = StreamingJoinJob(cfg_b).run()
+    a = ExactlyOnceParquetSink(cfg_a.out_dir).read_committed().to_pandas()
+    b = ExactlyOnceParquetSink(cfg_b.out_dir).read_committed().to_pandas()
+    pd.testing.assert_frame_equal(
+        a[CMP].sort_values(CMP).reset_index(drop=True),
+        b[CMP].sort_values(CMP).reset_index(drop=True),
+    )
+    assert s1["late_rows"] + s2["late_rows"] == s_full["late_rows"]
+    assert (
+        s1["order_violations"] + s2["order_violations"]
+        == s_full["order_violations"]
+    )

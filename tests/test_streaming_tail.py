@@ -74,7 +74,9 @@ def test_follow_the_tail_appends_epochs(tmp_path):
     part_dir = os.path.join(cfg.work_dir, "partitioned")
     for root, _, fs in os.walk(part_dir):
         for f in fs:
-            if f == "_partition_done.json":  # the marker itself is rewritten
+            # the marker and the frontier sidecar are (incrementally)
+            # rewritten on append; the data files must not be
+            if f in ("_partition_done.json", "_epoch_frontiers.json"):
                 continue
             p = os.path.join(root, f)
             part_mtime[p] = os.path.getmtime(p)
