@@ -17,7 +17,7 @@ from ray.data.aggregate import Count, Sum
 from statefulstreamprocessor_ray.functions import ops
 from statefulstreamprocessor_ray.functions.streams import StreamSpec
 from statefulstreamprocessor_ray.sources.transcripts import transcripts_from_events
-from statefulstreamprocessor_ray.stages import dedup, multimodal, similarity
+from statefulstreamprocessor_ray.stages import curation, dedup, multimodal, similarity
 from statefulstreamprocessor_ray.stages.join import (
     asof_join_tagged,
     ordered_join,
@@ -456,6 +456,38 @@ def q_dedup_exact(sf_dir):
     return dedup.exact_dedup(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_stratified_sample(sf_dir):
+    """Deterministic stratified sampling: md5-hash Bernoulli per doc_id with
+    per-language rates — no RNG state anywhere, so the sample is stable
+    across runs/machines and the oracle reproduces the exact decision with
+    md5_number_lower in SQL."""
+    docs = _documents(sf_dir, columns=["doc_id", "lang"])
+    return curation.deterministic_sample(
+        docs,
+        rates_by={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25},
+        stratum_col="lang",
+    )
+
+
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: src0 documents act as the eval set; every
+    other doc is flagged with its count of 3-grams appearing anywhere in the
+    eval set. The eval shingle-hash table is broadcast once; the corpus
+    streams through one map_batches (no shuffle)."""
+    docs = _documents(sf_dir, columns=["doc_id", "text", "source"])
+
+    def split(keep_bench):
+        def fn(t):
+            mask = pc.equal(t["source"], "src0")
+            return t.filter(mask if keep_bench else pc.invert(mask))
+
+        return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    return curation.decontaminate(
+        split(False), split(True), k=3, keep_cols=("source",)
+    )
+
+
 def q_ngram_jaccard(sf_dir):
     return dedup.ngram_jaccard_pairs(
         _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.5, k=3
@@ -687,6 +719,8 @@ QUERIES = {
     "streaming_session_windows": q_streaming_session_windows,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pipeline": q_multimodal_pipeline,
@@ -1411,4 +1445,41 @@ WITH e AS (
   FROM s
 )
 SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+# stratified_sample: the hash decision is md5_number_lower of the STRING id,
+# reproduced verbatim (rates: en 0.5, others 0.25; SAMPLE_MOD = 1e6)
+ORACLE_SQL["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 ELSE 250000 END
+"""
+
+# decontaminate: src0 = eval set; count each other doc's DISTINCT 3-grams
+# that appear anywhere in the eval set (same tokenization as ngram_jaccard)
+ORACLE_SQL["decontaminate"] = """
+WITH t AS (
+  SELECT doc_id, source, list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id, source, g FROM (
+    SELECT doc_id, source, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+      END) AS g
+    FROM t WHERE len(ws) > 0
+  )
+), bench AS (SELECT DISTINCT g FROM shing WHERE source = 'src0'),
+ov AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM shing s JOIN bench b ON s.g = b.g
+  WHERE s.source <> 'src0'
+  GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov o ON o.doc_id = d.doc_id
+WHERE d.source <> 'src0'
 """

@@ -1,0 +1,134 @@
+"""Corpus-curation operators for training-data pipelines:
+
+- deterministic (optionally stratified) sampling — hash-Bernoulli per row
+  with DuckDB-reproducible ``md5_number_lower`` decisions, so a sample is
+  stable across runs/machines AND SQL-checkable (no RNG state anywhere);
+- benchmark decontamination — flag/drop corpus documents sharing any
+  k-gram with an evaluation set (the eval-set shingle table is small by
+  definition: broadcast once via ``ray.put``, intersected per batch with
+  ``np.isin`` — no shuffle touches the corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from statefulstreamprocessor_ray.stages.dedup import (
+    _batch_shingle_hashes,
+    _md5_u64,
+)
+
+SAMPLE_MOD = 1_000_000
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    rate: float | None = None,
+    rates_by: dict | None = None,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Keep a row iff ``md5_number_lower(CAST(id AS VARCHAR)) % 1e6 <
+    rate * 1e6`` — deterministic, machine-independent, SQL-reproducible.
+
+    ``rates_by`` + ``stratum_col`` gives per-stratum rates (e.g. downsample
+    dominant languages); strata missing from the dict keep rate 0. At scale
+    this is a pure map_batches filter: no shuffle, no RNG state, resumable
+    for free."""
+    if (rate is None) == (rates_by is None):
+        raise ValueError("pass exactly one of rate / rates_by")
+    if rates_by is not None and stratum_col is None:
+        raise ValueError("rates_by requires stratum_col")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = _md5_u64([str(int(i)) for i in ids]) % np.uint64(SAMPLE_MOD)
+        if rate is not None:
+            keep = h < np.uint64(int(rate * SAMPLE_MOD))
+        else:
+            strata = t[stratum_col].to_pandas().to_numpy()
+            thresh = np.zeros(len(ids), np.uint64)
+            for s, r in rates_by.items():
+                thresh[strata == s] = np.uint64(int(r * SAMPLE_MOD))
+            keep = h < thresh
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def benchmark_shingle_hashes(
+    bench: ray.data.Dataset, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> np.ndarray:
+    """Distinct k-gram hashes of the (small) benchmark set — md5 mode so the
+    whole decontamination decision is SQL-reproducible."""
+    parts = []
+    for b in bench.select_columns([id_col, text_col]).iter_batches(
+        batch_size=8192, batch_format="pandas"
+    ):
+        _, _, hashes = _batch_shingle_hashes(b, k, text_col, id_col, hash_fn="md5")
+        parts.append(np.unique(hashes))
+    return (
+        np.unique(np.concatenate(parts)) if parts else np.array([], np.uint64)
+    )
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+    mode: str = "flag",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: for each corpus doc, count its distinct
+    k-grams that appear anywhere in the benchmark set.
+
+    ``mode="flag"`` emits every doc with ``(n_overlap, contaminated)``;
+    ``mode="drop"`` keeps only clean docs. The benchmark shingle set is
+    broadcast once (``ray.put``) and fetched per actor; the corpus is
+    streamed through one map_batches — no shuffle."""
+    import ray as _ray
+
+    bench_hashes = benchmark_shingle_hashes(bench, k=k, text_col=text_col, id_col=id_col)
+    ref = _ray.put(bench_hashes)
+
+    class Decontaminator:
+        def __init__(self):
+            self.bench = _ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            doc_ids_rep, counts, hashes = _batch_shingle_hashes(
+                batch, k, text_col, id_col, hash_fn="md5"
+            )
+            hit = np.isin(hashes, self.bench)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            if len(hashes):
+                # zero-shingle docs make zero-length reduceat segments; clip
+                # the trailing start (reduceat raises past the end) and mask
+                # their bogus single-element sums to 0 below
+                n_overlap = np.add.reduceat(
+                    hit, np.minimum(starts, len(hashes) - 1), dtype=np.int64
+                )
+            else:
+                n_overlap = np.zeros(len(counts), np.int64)
+            n_overlap = np.where(counts > 0, n_overlap, 0)
+            out = {id_col: np.asarray(batch[id_col], np.int64)}
+            for c in keep_cols:
+                out[c] = batch[c].to_numpy()
+            out["n_overlap"] = n_overlap
+            out["contaminated"] = n_overlap > 0
+            res = pd.DataFrame(out)
+            if mode == "drop":
+                res = res[~res["contaminated"]].drop(
+                    columns=["n_overlap", "contaminated"]
+                )
+            return res
+
+    return ds.map_batches(
+        Decontaminator, batch_format="pandas", concurrency=(1, 8)
+    )

@@ -1,0 +1,60 @@
+"""Curation operators: deterministic sampling + benchmark decontamination."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from statefulstreamprocessor_ray.stages import curation
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deterministic_sample_is_stable_and_rate_accurate():
+    df = pd.DataFrame(
+        {"doc_id": np.arange(20_000, dtype=np.int64),
+         "lang": np.where(np.arange(20_000) % 4 == 0, "de", "en")}
+    )
+    ds = ray.data.from_pandas(df)
+    a = curation.deterministic_sample(ds, rate=0.3).to_pandas()
+    b = curation.deterministic_sample(
+        ray.data.from_pandas(df), rate=0.3
+    ).to_pandas()
+    # deterministic: identical rows both runs; rate within ~2% absolute
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert abs(len(a) / len(df) - 0.3) < 0.02
+
+    s = curation.deterministic_sample(
+        ds, rates_by={"en": 0.5, "de": 0.1}, stratum_col="lang"
+    ).to_pandas()
+    frac = s.groupby(s.lang).size() / df.groupby(df.lang).size()
+    assert abs(frac["en"] - 0.5) < 0.03 and abs(frac["de"] - 0.1) < 0.03
+    # unknown strata default to rate 0
+    t = curation.deterministic_sample(
+        ds, rates_by={"en": 0.5}, stratum_col="lang"
+    ).to_pandas()
+    assert (t.lang == "en").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_and_drops():
+    bench_texts = ["the quick brown fox jumps", "pack my box with jugs"]
+    corpus = [
+        "totally unrelated words here one",          # clean
+        "contains the quick brown fox jumps inline",  # 3-gram overlap
+        "x",                                          # <k tokens, clean
+        "",                                           # empty
+    ]
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64), "text": bench_texts})
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(100, 104, dtype=np.int64), "text": corpus}
+        )
+    )
+    flagged = curation.decontaminate(ds, bench, k=3).to_pandas().sort_values("doc_id")
+    assert flagged.contaminated.tolist() == [False, True, False, False]
+    assert flagged.n_overlap.tolist()[1] == 3  # 3 shared 3-grams
+    dropped = curation.decontaminate(ds, bench, k=3, mode="drop").to_pandas()
+    assert sorted(dropped.doc_id) == [100, 102, 103]
