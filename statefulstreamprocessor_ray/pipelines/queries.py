@@ -17,7 +17,7 @@ from ray.data.aggregate import Count, Sum
 from statefulstreamprocessor_ray.functions import ops
 from statefulstreamprocessor_ray.functions.streams import StreamSpec
 from statefulstreamprocessor_ray.sources.transcripts import transcripts_from_events
-from statefulstreamprocessor_ray.stages import curation, dedup, multimodal, similarity
+from statefulstreamprocessor_ray.stages import curation, dedup, multimodal, relational, similarity
 from statefulstreamprocessor_ray.stages.join import (
     asof_join_tagged,
     ordered_join,
@@ -456,6 +456,21 @@ def q_dedup_exact(sf_dir):
     return dedup.exact_dedup(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_doc_embedding_join(sf_dir):
+    """Plain relational equi-join (documents ⋈ embeddings on id): ONE
+    int-keyed co-shuffle (hash(key) % P) + a vectorized pandas merge per
+    shard — the attach-metadata primitive around the stream operators. The
+    broadcast variant (small side via ray.put) is pytest-covered."""
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "source"])
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "label"])
+    out = relational.partitioned_join(docs, emb, left_on="doc_id", right_on="vec_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "source", "label"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_stratified_sample(sf_dir):
     """Deterministic stratified sampling: md5-hash Bernoulli per doc_id with
     per-language rates — no RNG state anywhere, so the sample is stable
@@ -720,6 +735,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "stratified_sample": q_stratified_sample,
+    "doc_embedding_join": q_doc_embedding_join,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
     "multimodal_decode": q_multimodal_decode,
@@ -1482,4 +1498,9 @@ SELECT d.doc_id, d.source,
        coalesce(o.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN ov o ON o.doc_id = d.doc_id
 WHERE d.source <> 'src0'
+"""
+
+ORACLE_SQL["doc_embedding_join"] = """
+SELECT d.doc_id, d.lang, d.source, CAST(e.label AS INTEGER) AS label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
 """
