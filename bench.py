@@ -160,6 +160,22 @@ def bench_ann(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def bench_decontaminate(sf_dir: str) -> dict:
+    from statefulstreamprocessor_ray.pipelines.queries import q_decontaminate
+
+    t0 = time.time()
+    n = q_decontaminate(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
+def bench_join_relational(sf_dir: str) -> dict:
+    from statefulstreamprocessor_ray.pipelines.queries import q_doc_embedding_join
+
+    t0 = time.time()
+    n = q_doc_embedding_join(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
 def bench_cep(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_cep_funnel
 
@@ -224,6 +240,8 @@ def run_bench() -> dict:
         "text_stats": lambda: bench_text(SF_DIR),
         "ann_topk": lambda: bench_ann(SF_DIR),
         "cep_funnel": lambda: bench_cep(SF_DIR),
+        "decontaminate": lambda: bench_decontaminate(SF_DIR),
+        "relational_join": lambda: bench_join_relational(SF_DIR),
         "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
     }
     results = {}

@@ -36,7 +36,12 @@ class MetricsActor:
 
 
 def metered(ds: ray.data.Dataset, actor, stage: str) -> ray.data.Dataset:
-    """Pass-through stage that counts rows/bytes into the metrics actor."""
+    """Pass-through stage that counts rows/bytes into the metrics actor.
+
+    Adds are FIRE-AND-FORGET from the workers (the hot path never blocks on
+    the metrics actor), so a report taken immediately after the pipeline
+    finishes may lag by in-flight adds — poll or tolerate slack when exact
+    totals matter (S10 is throughput metering, not an audit log)."""
     import pyarrow as pa
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -81,7 +81,15 @@ def test_replayer_and_sinks_and_metrics(tmp_path):
     m = MetricsActor.remote()
     n = metered(ds, m, "ingest").count()
     assert n == tbl.num_rows
+    # metering is fire-and-forget from the workers (by design — the hot path
+    # never blocks on the actor); poll briefly until the adds land
+    import time as _time
+
+    deadline = _time.time() + 10
     rep = ray.get(m.report.remote())
+    while rep.get("ingest", {}).get("rows", 0) < tbl.num_rows and _time.time() < deadline:
+        _time.sleep(0.1)
+        rep = ray.get(m.report.remote())
     assert rep["ingest"]["rows"] == tbl.num_rows
 
     # sinks
