@@ -471,6 +471,14 @@ def q_doc_embedding_join(sf_dir):
     )
 
 
+def q_chunk_documents(sf_dir):
+    """Overlapping token-window chunking (context-window prep): 1->N explode
+    in map_batches, no shuffle; 40-token windows with 8-token overlap over
+    the documents table."""
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    return curation.chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
 def q_stratified_sample(sf_dir):
     """Deterministic stratified sampling: md5-hash Bernoulli per doc_id with
     per-language rates — no RNG state anywhere, so the sample is stable
@@ -735,6 +743,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "stratified_sample": q_stratified_sample,
+    "chunk_documents": q_chunk_documents,
     "doc_embedding_join": q_doc_embedding_join,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
@@ -1503,4 +1512,24 @@ WHERE d.source <> 'src0'
 ORACLE_SQL["doc_embedding_join"] = """
 SELECT d.doc_id, d.lang, d.source, CAST(e.label AS INTEGER) AS label
 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+"""
+
+# chunk_documents: same tokenization (whitespace split, no lowercase), chunk
+# starts every 32 tokens (40 - 8 overlap), trailing start emitted only when
+# it adds tokens beyond the previous chunk's overlap; DuckDB list slices are
+# 1-based inclusive and clamped, matching toks[start : start+40]
+ORACLE_SQL["chunk_documents"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, len(ws) AS n, CAST(u.i AS BIGINT) AS start
+  FROM t, unnest(range(0, len(ws), 32)) AS u(i)
+  WHERE len(ws) > 0 AND (u.i = 0 OR u.i + 8 < len(ws))
+)
+SELECT doc_id,
+       CAST(start / 32 AS BIGINT) AS chunk_idx,
+       array_to_string(ws[start + 1 : start + 40], ' ') AS chunk_text,
+       CAST(least(n - start, 40) AS BIGINT) AS n_tokens
+FROM c JOIN t USING (doc_id)
 """

@@ -132,3 +132,49 @@ def decontaminate(
     return ds.map_batches(
         Decontaminator, batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split documents into overlapping whitespace-token windows — the
+    context-window preparation step of a training pipeline. 1->N explode in
+    map_batches (no shuffle); chunk starts advance by ``chunk_tokens -
+    overlap``; a trailing start is emitted only if it contributes tokens
+    beyond the previous chunk's overlap (start == 0 or start + overlap < n).
+    Deterministic and SQL-reproducible (list slicing over the same
+    tokenization). Output: (id, chunk_idx, chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cidx, texts, ntoks = [], [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = [t for t in text.split() if t]
+            n = len(toks)
+            i = 0
+            while i * step < n:
+                start = i * step
+                if start > 0 and start + overlap >= n:
+                    break  # fully contained in the previous chunk's tail
+                piece = toks[start : start + chunk_tokens]
+                ids.append(doc_id)
+                cidx.append(i)
+                texts.append(" ".join(piece))
+                ntoks.append(len(piece))
+                i += 1
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, np.int64),
+                "chunk_idx": np.asarray(cidx, np.int64),
+                "chunk_text": texts,
+                "n_tokens": np.asarray(ntoks, np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -58,3 +58,32 @@ def test_decontaminate_flags_and_drops():
     assert flagged.n_overlap.tolist()[1] == 3  # 3 shared 3-grams
     dropped = curation.decontaminate(ds, bench, k=3, mode="drop").to_pandas()
     assert sorted(dropped.doc_id) == [100, 102, 103]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_windows_and_overlap():
+    texts = {
+        0: " ".join(f"w{i}" for i in range(100)),  # 4 chunks of 40/overlap 8
+        1: "a b c",                                 # single short chunk
+        2: "",                                      # no chunks
+        3: " ".join(f"x{i}" for i in range(40)),    # exactly one window
+    }
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = (
+        curation.chunk_documents(ds, chunk_tokens=40, overlap=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert d0.chunk_idx.tolist() == [0, 1, 2]  # starts 0,32,64; 96+8>=100 stops
+    assert d0.n_tokens.tolist() == [40, 40, 36]
+    # overlap: chunk 1 starts at token 32 -> first token w32
+    assert d0.iloc[1].chunk_text.split()[0] == "w32"
+    assert out[out.doc_id == 1].n_tokens.tolist() == [3]
+    assert (out.doc_id == 2).sum() == 0
+    assert out[out.doc_id == 3].n_tokens.tolist() == [40]
+    with pytest.raises(ValueError):
+        curation.chunk_documents(ds, chunk_tokens=10, overlap=10)
