@@ -479,6 +479,25 @@ def q_chunk_documents(sf_dir):
     return curation.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def q_pack_sequences(sf_dir):
+    """Greedy sequence packing over the chunked corpus: fixed token budget
+    128, buckets = doc_id % 8 (fixed modulus -> machine-independent layout),
+    greedy fill in (doc_id, chunk_idx) order within each bucket. The oracle
+    replays the greedy walk with a recursive CTE."""
+    chunks = curation.chunk_documents(
+        _documents(sf_dir, columns=["doc_id", "text"]), chunk_tokens=40, overlap=8
+    ).drop_columns(["chunk_text"])
+    return curation.pack_sequences(chunks, budget=128, n_buckets=8)
+
+
+def q_render_conversations(sf_dir):
+    """Render each conversation transcript to one training document (turns
+    in (ts, turn_idx) order, 'role: text' lines) — the corpus-assembly step
+    between the transcript tables and the text pipeline. Shard-vectorized
+    group concat, one task per shard."""
+    return curation.render_conversations(transcripts_from_events(sf_dir))
+
+
 def q_stratified_sample(sf_dir):
     """Deterministic stratified sampling: md5-hash Bernoulli per doc_id with
     per-language rates — no RNG state anywhere, so the sample is stable
@@ -744,6 +763,8 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
+    "render_conversations": q_render_conversations,
     "doc_embedding_join": q_doc_embedding_join,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
@@ -1532,4 +1553,60 @@ SELECT doc_id,
        array_to_string(ws[start + 1 : start + 40], ' ') AS chunk_text,
        CAST(least(n - start, 40) AS BIGINT) AS n_tokens
 FROM c JOIN t USING (doc_id)
+"""
+
+# pack_sequences: chunking reproduced as in chunk_documents, then the greedy
+# budget-128 walk replayed per bucket with a recursive CTE (row_number order
+# = (doc_id, chunk_idx); a chunk joins its pack while the running total
+# stays <= budget, else opens the next pack with 0 tokens before it)
+ORACLE_SQL["pack_sequences"] = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, len(ws) AS n, CAST(u.i AS BIGINT) AS start
+  FROM t, unnest(range(0, len(ws), 32)) AS u(i)
+  WHERE len(ws) > 0 AND (u.i = 0 OR u.i + 8 < len(ws))
+), chunks AS (
+  SELECT doc_id, CAST(start / 32 AS BIGINT) AS chunk_idx,
+         CAST(least(n - start, 40) AS BIGINT) AS n_tokens
+  FROM c
+), o AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS bucket, doc_id, chunk_idx, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), walk AS (
+  SELECT bucket, rn, doc_id, chunk_idx, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS before
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.chunk_idx, o.n_tokens,
+         CASE WHEN w.before + w.n_tokens + o.n_tokens <= 128
+              THEN w.pack_id ELSE w.pack_id + 1 END,
+         CASE WHEN w.before + w.n_tokens + o.n_tokens <= 128
+              THEN w.before + w.n_tokens ELSE CAST(0 AS BIGINT) END
+  FROM walk w JOIN o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT bucket, doc_id, chunk_idx, n_tokens, pack_id,
+       before AS pack_tokens_before
+FROM walk
+"""
+
+# render_conversations: the event->transcript adapter mapping reproduced in
+# SQL (same as flagship_transcripts, incl. the Arrow shortest-float-repr
+# fix), then one ordered string_agg per conversation
+ORACLE_SQL["render_conversations"] = """
+WITH m AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS BIGINT) AS turn_idx,
+         epoch_us(ts) AS tu,
+         CASE WHEN event_type IN ('purchase','signup') THEN 'assistant'
+              WHEN event_type = 'error' THEN 'tool' ELSE 'user' END AS role,
+         event_type || ':' ||
+           regexp_replace(CAST(round(value, 2) AS VARCHAR), '\\.0$', '') AS text
+  FROM events
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY tu, turn_idx) AS rendered
+FROM m GROUP BY conv_id
 """

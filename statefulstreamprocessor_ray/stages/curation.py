@@ -178,3 +178,115 @@ def chunk_documents(
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def pack_sequences(
+    chunks: ray.data.Dataset,
+    budget: int = 512,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> ray.data.Dataset:
+    """Greedy sequence packing: assign chunks to fixed-token-budget packs —
+    the sample-packing step before training. Deterministic and parallel:
+    chunks are bucketed by ``id % n_buckets`` (a FIXED modulus, so the
+    layout is machine-independent and SQL-reproducible), and each bucket is
+    packed greedily in (id, chunk_idx) order — running total resets to the
+    chunk that would overflow the budget. Oversized chunks (> budget) get a
+    pack of their own.
+
+    Within a bucket the greedy scan jumps PACK BY PACK via searchsorted on
+    the token prefix sums (O(packs) iterations, not O(rows)). Output:
+    (bucket, pack_id, id, chunk_idx, n_tokens, pack_tokens_before) — an
+    assignment table; the actual tensor assembly is a downstream gather."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((ids % n_buckets).astype(np.int32), pa.int32())
+        )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, idx_col]).reset_index(drop=True)
+        toks = g[tokens_col].to_numpy(np.int64)
+        n = len(toks)
+        csum = np.concatenate(([0], np.cumsum(toks)))
+        pack_id = np.empty(n, np.int64)
+        before = np.empty(n, np.int64)
+        i, p = 0, 0
+        while i < n:
+            # furthest j with sum(toks[i:j]) <= budget; always take >= 1
+            j = int(np.searchsorted(csum, csum[i] + budget, side="right")) - 1
+            j = max(j, i + 1)
+            pack_id[i:j] = p
+            before[i:j] = csum[i:j] - csum[i]
+            p += 1
+            i = j
+        out = g[["bucket", id_col, idx_col, tokens_col]].copy()
+        out["pack_id"] = pack_id
+        out["pack_tokens_before"] = before
+        return out
+
+    return (
+        chunks.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+    )
+
+
+def render_conversations(
+    transcripts: ray.data.Dataset,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Render each conversation to one training document: turns in
+    (ts, tie) order, lines formatted ``role: text``, joined by ``sep``.
+    Shard-vectorized like the session operators (hash(key) % P, one task per
+    shard, one pandas group-agg per shard — no per-key tasks).
+    Output: (key, n_turns, rendered)."""
+    if n_shards is None:
+        try:
+            import ray as _ray
+
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+        except Exception:
+            n_shards = 64
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        return b.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
+
+    def render_shard(g: pa.Table) -> pd.DataFrame:
+        g = g.drop_columns(["_shard"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                (tie_col, "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        line = pc.binary_join_element_wise(g[role_col], g[text_col], ": ")
+        df = pd.DataFrame(
+            {key_col: g[key_col].to_pandas(), "line": line.to_pandas()}
+        )
+        agg = df.groupby(key_col, sort=False)["line"].agg(["size", sep.join])
+        agg.columns = ["n_turns", "rendered"]
+        out = agg.reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out
+
+    sharded = transcripts.select_columns(
+        [key_col, ts_col, tie_col, role_col, text_col]
+    ).map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("_shard").map_groups(render_shard, batch_format="pyarrow")

@@ -87,3 +87,61 @@ def test_chunk_documents_windows_and_overlap():
     assert out[out.doc_id == 3].n_tokens.tolist() == [40]
     with pytest.raises(ValueError):
         curation.chunk_documents(ds, chunk_tokens=10, overlap=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_greedy_budget():
+    # 10 chunks of 30 tokens, bucket 0 only -> packs of 4 (120 <= 128)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.zeros(10, np.int64) + 8,  # 8 % 8 == 0
+            "chunk_idx": np.arange(10, dtype=np.int64),
+            "n_tokens": np.full(10, 30, np.int64),
+        }
+    )
+    out = (
+        curation.pack_sequences(ray.data.from_pandas(df), budget=128, n_buckets=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert out.pack_id.tolist() == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+    assert out.pack_tokens_before.tolist() == [0, 30, 60, 90] * 2 + [0, 30]
+    # oversized chunk gets its own pack and resets the walk
+    df2 = pd.DataFrame(
+        {
+            "doc_id": np.zeros(3, np.int64),
+            "chunk_idx": np.arange(3, dtype=np.int64),
+            "n_tokens": np.array([50, 500, 50], np.int64),
+        }
+    )
+    out2 = (
+        curation.pack_sequences(ray.data.from_pandas(df2), budget=128, n_buckets=8)
+        .to_pandas()
+        .sort_values("chunk_idx")
+    )
+    assert out2.pack_id.tolist() == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_render_conversations_order_and_format():
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "a"],
+            "ts": pd.to_datetime([3, 1, 1, 2], unit="s"),
+            "turn_idx": np.array([3, 1, 1, 2], np.int64),
+            "role": ["assistant", "user", "user", "tool"],
+            "text": ["t3", "t1", "only", "t2"],
+            "tool": [None, None, None, "err"],
+        }
+    )
+    out = (
+        curation.render_conversations(ray.data.from_pandas(df), n_shards=3)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert out.conv_id.tolist() == ["a", "b"]
+    assert out.n_turns.tolist() == [3, 1]
+    assert out.rendered[0] == "user: t1\ntool: t2\nassistant: t3"
+    assert out.rendered[1] == "user: only"
