@@ -157,13 +157,10 @@ def q_tumbling_agg(sf_dir):
             [("cents", "sum"), ("cents", "count")]
         )
 
-    return (
-        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start_us"])
-        .aggregate(
-            Sum("cents_count", alias_name="n"),
-            Sum("cents_sum", alias_name="sum_cents"),
-        )
+    return ops.sharded_group_sum(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "window_start_us"],
+        sums={"cents_count": "n", "cents_sum": "sum_cents"},
     )
 
 
@@ -184,10 +181,10 @@ def q_sliding_agg(sf_dir):
             [("window_start_us", "count")]
         )
 
-    return (
-        win.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start_us"])
-        .aggregate(Sum("window_start_us_count", alias_name="n"))
+    return ops.sharded_group_sum(
+        win.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "window_start_us"],
+        sums={"window_start_us_count": "n"},
     )
 
 
