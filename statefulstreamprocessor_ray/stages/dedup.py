@@ -234,7 +234,9 @@ def _bucket_pairs(
                         cn: np.zeros(len(hot_sizes), agg[cn].dtype if len(agg) else np.int64)
                         for cn in carry_names
                     },
-                    "inter": np.asarray(hot_sizes, np.int64),
+                    # inter = 1 per skipped key: markers stay COUNTABLE after
+                    # any downstream group-sum collapses equal marker rows
+                    "inter": np.ones(len(hot_sizes), np.int64),
                 }
             )
             agg = pd.concat([agg, marker], ignore_index=True)
@@ -245,51 +247,72 @@ def _bucket_pairs(
 
 def _split_hot_markers(partials: pd.DataFrame) -> tuple[pd.DataFrame, int]:
     """Split max_df sentinel rows off a pair-partial frame; returns
-    (real pairs, number of skipped hot keys)."""
+    (real pairs, number of skipped hot keys). Markers carry inter = 1 per
+    skipped key, so the count survives group-sums that merge equal rows."""
     if partials.empty:
         return partials, 0
     hot = partials["doc_a"] == _HOT_MARKER
-    return partials[~hot], int(hot.sum())
+    if "inter" in partials.columns:
+        n_hot = int(partials.loc[hot, "inter"].sum())
+    else:
+        n_hot = int(hot.sum())
+    return partials[~hot], n_hot
 
 
 def _jaccard_pairs_df(
-    sh: ray.data.Dataset, max_df: int | None = None
+    sh: ray.data.Dataset,
+    max_df: int | None = None,
+    threshold: float | None = None,
 ) -> tuple[pd.DataFrame, int]:
     """Shingle rows (doc_id, sh, n) -> exact-Jaccard pair frame
     (doc_a, doc_b, jaccard) plus the hot-shingle skip count.
 
-    Shuffle-shape: groupby(shingle-bucket) -> pair partials with (n_a, n_b)
-    -> driver sum of the pre-aggregated partials. Only the (pair, inter,
-    n_a, n_b) aggregate reaches the driver."""
+    Fully distributed reduction: groupby(shingle-bucket) -> pair partials
+    with (n_a, n_b) -> one int-shard group-sum of the partials -> Jaccard +
+    threshold filter IN THE WORKERS. The driver receives only pairs that
+    already pass the threshold (plus the tiny hot-marker rows)."""
+    from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
     add_bucket, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
     partials = (
         sh.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
     )
-    partials, n_hot = _split_hot_markers(partials)
-    # cross-bucket merge of the pre-aggregated pair partials on the driver:
-    # the partial set is bounded by the candidate-pair count (~ the dup rate),
-    # orders of magnitude smaller than the shingle exchange it rode in on —
-    # same sanctioned small-result pattern as cluster_duplicates
-    if partials.empty:  # zero pairs anywhere -> column-less empty frame
-        partials = pd.DataFrame(
-            {c: [] for c in ["doc_a", "doc_b", "n_a", "n_b", "inter"]}
+    summed = sharded_group_sum(
+        partials, keys=["doc_a", "doc_b", "n_a", "n_b"], sums={"inter": "inter"}
+    )
+
+    def jac_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "jaccard": np.array([], np.float64),
+                    "inter": np.array([], np.int64),
+                }
+            )
+        hot = df["doc_a"].to_numpy() == _HOT_MARKER
+        union = (df["n_a"] + df["n_b"] - df["inter"]).to_numpy(np.float64)
+        jac = np.where(union > 0, df["inter"].to_numpy(np.float64) / np.where(union > 0, union, 1.0), 0.0)
+        keep = hot | (jac >= threshold if threshold is not None else np.ones(len(df), bool))
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+                "jaccard": jac[keep],
+                "inter": df["inter"].to_numpy(np.int64)[keep],  # marker counts
+            }
         )
-    inter = partials.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)[
-        "inter"
-    ].sum()
-    union = inter["n_a"] + inter["n_b"] - inter["inter"]
-    jac = np.where(union > 0, inter["inter"] / union.replace(0, 1), 0.0)
-    out = pd.DataFrame(
-        {
-            "doc_a": inter["doc_a"].astype(np.int64),
-            "doc_b": inter["doc_b"].astype(np.int64),
-            "jaccard": jac,
-        }
-    )
-    return out, n_hot
+
+    out = summed.map_batches(jac_filter, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {c: [] for c in ["doc_a", "doc_b", "jaccard", "inter"]}
+        )
+    out, n_hot = _split_hot_markers(out)
+    return out.drop(columns=["inter"]).astype({"doc_a": np.int64, "doc_b": np.int64}), n_hot
 
 
 def _pairs_table(rows: pd.DataFrame, value_col: str, value_type, n_hot: int) -> pa.Table:
@@ -324,8 +347,7 @@ def ngram_jaccard_pairs(
     sh = ds.map_batches(
         ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
     )
-    pairs, n_hot = _jaccard_pairs_df(sh, max_df=max_df)
-    pairs = pairs[pairs["jaccard"] >= threshold]
+    pairs, n_hot = _jaccard_pairs_df(sh, max_df=max_df, threshold=threshold)
     return _pairs_table(pairs, "jaccard", pa.float64(), n_hot)
 
 
@@ -464,7 +486,9 @@ def minhash_lsh_pairs(
     ).map_batches(
         ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
     )
-    jac_df, _ = _jaccard_pairs_df(sh)
+    # threshold pushed into the workers: only above-threshold pairs (among
+    # the restricted candidate docs) ever reach the driver
+    jac_df, _ = _jaccard_pairs_df(sh, threshold=threshold)
     merged = cand_df.merge(jac_df, on=["doc_a", "doc_b"], how="inner")
     merged = merged[merged["jaccard"] >= threshold].copy()
     merged["jaccard_r"] = merged["jaccard"].round(6)
