@@ -207,9 +207,8 @@ def power_join_projection(
 
 def word_count(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     """P16: grouped word count (``05_Flink_Python/WordCount.py:45-49``),
-    scale-shaped: per-batch partial counts (combiner) then a small groupby-sum
-    over (word, partial) rows instead of shuffling every token."""
-    from ray.data.aggregate import Sum
+    scale-shaped: per-batch partial counts (combiner) then one int-shard
+    group-sum over (word, partial) rows instead of shuffling every token."""
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -230,8 +229,8 @@ def word_count(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby("word").aggregate(Sum("partial", alias_name="n"))
-    return out
+    return sharded_group_sum(partials, keys=["word"], sums={"partial": "n"})
+
 
 def sharded_group_sum(
     ds: ray.data.Dataset,

@@ -238,3 +238,36 @@ def test_dedup_paths_zero_match_inputs(ray_session):
         assert dedup.simhash_pairs(ds).num_rows == 0
         assert dedup.minhash_lsh_pairs(ds).num_rows == 0
         assert dedup.ngram_jaccard_pairs(ds).num_rows == 0
+
+
+def test_sharded_group_sum_matches_pandas(ray_session):
+    from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["a", "b", "c", "dd"], 5000),
+            "k2": rng.integers(0, 50, 5000).astype(np.int64),
+            "v1": rng.integers(0, 100, 5000).astype(np.int64),
+            "v2": rng.integers(0, 100, 5000).astype(np.int64),
+        }
+    )
+    got = (
+        sharded_group_sum(
+            ray.data.from_pandas(df),
+            keys=["k1", "k2"],
+            sums={"v1": "s1", "v2": "s2"},
+            n_shards=11,
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)[["v1", "v2"]]
+        .sum()
+        .rename(columns={"v1": "s1", "v2": "s2"})
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
