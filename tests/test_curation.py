@@ -145,3 +145,79 @@ def test_render_conversations_order_and_format():
     assert out.n_turns.tolist() == [3, 1]
     assert out.rendered[0] == "user: t1\ntool: t2\nassistant: t3"
     assert out.rendered[1] == "user: only"
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_tokens=st.lists(st.integers(0, 90), min_size=1, max_size=12),
+    chunk=st.integers(5, 60),
+    overlap=st.integers(0, 4),
+)
+def test_chunking_invariants(ray_session, n_tokens, chunk, overlap):
+    # build docs with the requested token counts
+    texts = [" ".join(f"t{d}_{i}" for i in range(n)) for d, n in enumerate(n_tokens)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    out = curation.chunk_documents(ds, chunk_tokens=chunk, overlap=overlap).to_pandas()
+    if len(out) == 0:
+        # all-empty docs: zero chunks (and Ray loses the empty frame's schema)
+        assert all(n == 0 for n in n_tokens)
+        return
+    step = chunk - overlap
+    for d, n in enumerate(n_tokens):
+        rows = out[out.doc_id == d].sort_values("chunk_idx")
+        if n == 0:
+            assert len(rows) == 0
+            continue
+        # coverage: concatenating chunks minus overlaps reproduces the doc
+        toks = []
+        for _, r in rows.iterrows():
+            piece = r.chunk_text.split()
+            toks.extend(piece if not toks else piece[overlap:] if r.chunk_idx else piece)
+        # every token appears; chunk sizes bounded; last chunk reaches the end
+        assert rows.n_tokens.max() <= chunk
+        covered = set()
+        for _, r in rows.iterrows():
+            start = int(r.chunk_idx) * step
+            covered.update(range(start, start + int(r.n_tokens)))
+        assert covered == set(range(n))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    toks=st.lists(st.integers(1, 200), min_size=1, max_size=40),
+    budget=st.integers(50, 300),
+)
+def test_packing_invariants(ray_session, toks, budget):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.zeros(len(toks), np.int64),
+            "chunk_idx": np.arange(len(toks), dtype=np.int64),
+            "n_tokens": np.asarray(toks, np.int64),
+        }
+    )
+    out = (
+        curation.pack_sequences(ray.data.from_pandas(df), budget=budget, n_buckets=4)
+        .to_pandas()
+        .sort_values("chunk_idx")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(toks)  # every chunk packed exactly once
+    # packs respect the budget unless a single chunk exceeds it
+    sizes = out.groupby("pack_id").n_tokens.sum()
+    counts = out.groupby("pack_id").size()
+    for pid in sizes.index:
+        assert sizes[pid] <= budget or counts[pid] == 1
+    # greedy: a pack boundary only occurs because the next chunk wouldn't fit
+    order = out.pack_id.to_numpy()
+    assert (np.diff(order) >= 0).all() and (np.diff(order) <= 1).all()
+    for i in range(1, len(out)):
+        if order[i] != order[i - 1]:
+            prev_total = out.n_tokens[order == order[i - 1]].sum()
+            assert prev_total + out.n_tokens[i] > budget
