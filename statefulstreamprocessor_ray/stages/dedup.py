@@ -785,17 +785,27 @@ def embedding_dup_pairs(
             bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             bunit = _normalize(_to_matrix(t[vec_col]))
             out_a, out_b, out_s = [], [], []
+            # chunk BOTH dimensions with constant shapes: a fresh GB-scale
+            # sims allocation per call pays first-touch page faults every
+            # time (measured 28s cold vs 2.4s steady for one 2048x100k
+            # GEMM); constant-shape chunks let the allocator reuse arenas.
+            # Threshold prefilter on the raw values (half-ulp-of-round
+            # margin, superset), round only the candidates, recheck exactly
+            # — rounding the full matrix was the other hidden cost.
+            CH = 16384
+            cunit, cids = corpus["unit"], corpus["ids"]
             for i0 in range(0, len(bids), block):
-                sims = np.round(
-                    bunit[i0 : i0 + block] @ corpus["unit"].T, 6
-                )  # rounded before threshold
-                ii, jj = np.nonzero(sims >= threshold)
-                a = bids[i0 + ii]
-                b = corpus["ids"][jj]
-                keep = a < b  # each unordered pair emitted once, a < b
-                out_a.append(a[keep])
-                out_b.append(b[keep])
-                out_s.append(sims[ii, jj][keep])
+                bl = bunit[i0 : i0 + block]
+                for j0 in range(0, len(cids), CH):
+                    raw = bl @ cunit[j0 : j0 + CH].T
+                    ii, jj = np.nonzero(raw >= threshold - 6e-7)
+                    sims = np.round(raw[ii, jj], 6)
+                    a = bids[i0 + ii]
+                    b = cids[j0 + jj]
+                    keep = (a < b) & (sims >= threshold)
+                    out_a.append(a[keep])
+                    out_b.append(b[keep])
+                    out_s.append(sims[keep])
             return pa.table(
                 {
                     "vec_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
@@ -859,13 +869,14 @@ def embedding_dup_pairs(
             unit = _to_matrix(t["unit_vec"])[first]
             out_a, out_b, out_s = [], [], []
             for i0 in range(0, len(ids), block):
-                sims = np.round(unit[i0 : i0 + block] @ unit.T, 6)
-                ii, jj = np.nonzero(sims >= threshold)
+                raw = unit[i0 : i0 + block] @ unit.T
+                ii, jj = np.nonzero(raw >= threshold - 6e-7)  # see block_pairs
+                sims = np.round(raw[ii, jj], 6)
                 a, b = ids[i0 + ii], ids[jj]
-                keep = a < b
+                keep = (a < b) & (sims >= threshold)
                 out_a.append(a[keep])
                 out_b.append(b[keep])
-                out_s.append(sims[ii, jj][keep])
+                out_s.append(sims[keep])
             return pa.table(
                 {
                     "vec_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
