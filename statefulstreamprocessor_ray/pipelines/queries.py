@@ -495,6 +495,42 @@ def q_render_conversations(sf_dir):
     return curation.render_conversations(transcripts_from_events(sf_dir))
 
 
+def q_streaming_dedup(sf_dir):
+    """Streaming exact dedup: the documents corpus replayed as 3 arrival
+    epochs; per-shard seen-content-hash state, exactly-once manifests.
+    Because the epoch files are doc_id-ordered, the cross-epoch
+    first-occurrence rule equals 'global min doc_id per text' — which is the
+    SQL oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+        StreamingDedupConfig,
+        StreamingDedupJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("sdedup", "docs", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingDedupConfig(
+        input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out", n_shards=4
+    )
+    StreamingDedupJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def q_stratified_sample(sf_dir):
     """Deterministic stratified sampling: md5-hash Bernoulli per doc_id with
     per-language rates — no RNG state anywhere, so the sample is stable
@@ -762,6 +798,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "render_conversations": q_render_conversations,
+    "streaming_dedup": q_streaming_dedup,
     "doc_embedding_join": q_doc_embedding_join,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
@@ -1606,4 +1643,11 @@ WITH m AS (
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        string_agg(role || ': ' || text, chr(10) ORDER BY tu, turn_idx) AS rendered
 FROM m GROUP BY conv_id
+"""
+
+# streaming_dedup: arrival epochs are doc_id-ordered slices, so the
+# cross-epoch first-occurrence rule collapses to min doc_id per text
+ORACLE_SQL["streaming_dedup"] = """
+SELECT doc_id, text FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """

@@ -1,0 +1,121 @@
+"""Streaming exact dedup: cross-epoch first-occurrence filtering with
+exactly-once manifests, resume, and follow-the-tail appends."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+    StreamingDedupConfig,
+    StreamingDedupJob,
+)
+from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+
+def _write_epoch_files(tmp_path, epochs):
+    """epochs: list of list[(doc_id, text)] — one file per epoch."""
+    inp = tmp_path / "input"
+    inp.mkdir(exist_ok=True)
+    for i, rows in enumerate(epochs):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(inp / f"f-{i:03d}.parquet"))
+    return str(inp)
+
+
+def _cfg(tmp_path, inp):
+    return StreamingDedupConfig(
+        input_path=inp,
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "out"),
+        n_shards=3,
+    )
+
+
+EPOCHS = [
+    [(0, "aaa"), (1, "bbb"), (2, "aaa")],          # in-epoch dup: 2 drops
+    [(3, "ccc"), (4, "bbb")],                       # cross-epoch dup: 4 drops
+    [(5, "aaa"), (6, "ddd"), (7, "ddd"), (8, "eee")],
+]
+EXPECT = {0: "aaa", 1: "bbb", 3: "ccc", 6: "ddd", 8: "eee"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_occurrence_across_epochs(tmp_path):
+    inp = _write_epoch_files(tmp_path, EPOCHS)
+    cfg = _cfg(tmp_path, inp)
+    stats = StreamingDedupJob(cfg).run()
+    assert stats["epochs_processed"] == 3
+    out = ExactlyOnceParquetSink(cfg.out_dir).read_committed().to_pandas()
+    assert dict(zip(out.doc_id, out.text)) == EXPECT
+    assert stats["n_seen"] == len(set(EXPECT.values()))
+
+    # second run: zero emissions
+    stats2 = StreamingDedupJob(cfg).run()
+    assert stats2["rows_emitted"] == 0 and stats2["epochs_processed"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_resume_equals_uninterrupted(tmp_path):
+    inp = _write_epoch_files(tmp_path, EPOCHS)
+    cfg = _cfg(tmp_path, inp)
+    s1 = StreamingDedupJob(cfg).run(max_epochs=1)
+    assert s1["epochs_processed"] == 1
+    StreamingDedupJob(cfg).run()
+    out = ExactlyOnceParquetSink(cfg.out_dir).read_committed().to_pandas()
+    assert dict(zip(out.doc_id, out.text)) == EXPECT
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_the_tail_emits_only_new_contents(tmp_path):
+    inp = _write_epoch_files(tmp_path, EPOCHS[:2])
+    cfg = _cfg(tmp_path, inp)
+    StreamingDedupJob(cfg).run()
+    rows1 = ExactlyOnceParquetSink(cfg.out_dir).committed_row_count()
+
+    # the tail file arrives: 'aaa'/'ddd'-dup already seen; 6 and 8 are new
+    _write_epoch_files(tmp_path, EPOCHS)  # rewrites 0/1 identically, adds 2
+    stats2 = StreamingDedupJob(cfg).run()
+    assert stats2["epochs_skipped"] == 2 and stats2["epochs_processed"] == 1
+    assert stats2["rows_emitted"] == 2  # doc 6 (ddd) + doc 8 (eee)
+    out = ExactlyOnceParquetSink(cfg.out_dir).read_committed().to_pandas()
+    assert dict(zip(out.doc_id, out.text)) == EXPECT
+    assert len(out) == rows1 + 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_matches_batch_dedup_on_random_corpus(tmp_path):
+    rng = np.random.default_rng(6)
+    texts = [f"doc body {i}" for i in range(200)]
+    # 30% duplicates of earlier docs, shuffled into 4 epoch files
+    all_rows = []
+    for i in range(300):
+        t = texts[rng.integers(0, 200)] if i >= 200 else texts[i]
+        all_rows.append((i, t))
+    epochs = [all_rows[i * 75 : (i + 1) * 75] for i in range(4)]
+    inp = _write_epoch_files(tmp_path, epochs)
+    cfg = _cfg(tmp_path, inp)
+    StreamingDedupJob(cfg).run()
+    out = (
+        ExactlyOnceParquetSink(cfg.out_dir)
+        .read_committed()
+        .select_columns(["doc_id", "text"])  # drop the inferred hive epoch col
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(all_rows, columns=["doc_id", "text"])
+        .sort_values("doc_id")
+        .drop_duplicates("text", keep="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
