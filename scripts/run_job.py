@@ -72,7 +72,17 @@ def main() -> None:
     cp.add_argument("--tie-col", default="event_id")
     cp.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w, cp):
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--input", required=True, help="documents parquet dir")
+    dd.add_argument("--work", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--shards", type=int, default=4)
+    dd.add_argument("--files-per-epoch", type=int, default=1)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp, dd):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -126,6 +136,23 @@ def main() -> None:
         stats = StreamingCepJob(ccfg).run(max_epochs=args.max_epochs)
         stats.pop("per_epoch", None)
         print(json.dumps({"mode": "cep", **stats}))
+    elif args.mode == "dedup":
+        from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+            StreamingDedupConfig,
+            StreamingDedupJob,
+        )
+
+        dcfg = StreamingDedupConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        stats = StreamingDedupJob(dcfg).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "dedup", **stats}))
     elif args.mode == "windows":
         from statefulstreamprocessor_ray.pipelines.streaming_windows import (
             StreamingWindowConfig,
