@@ -290,7 +290,7 @@ def run_scaling() -> dict:
 
     lo_cpus = int(os.environ.get("SCALING_LO", "4"))
     hi_cpus = int(os.environ.get("SCALING_HI", str(4 * lo_cpus)))
-    reps = int(os.environ.get("SCALING_REPS", "2"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     # interleaved reps, min per level: single-shot runs on a shared box swing
     # 20-30% with page-cache / scheduler noise; min-of-interleaved isolates
     # the parallelism effect from that noise
