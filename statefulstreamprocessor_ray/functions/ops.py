@@ -119,6 +119,42 @@ def clamp_level(ds: ray.data.Dataset, col: str = "value") -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shard_by_key(
+    ds: ray.data.Dataset,
+    key_cols: str | list[str],
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Append ``_shard = mix(hash(keys)) % P`` (P defaults to 8x cluster
+    CPUs — enough distinct values that the sort shuffle's sampled partition
+    boundaries stay balanced; see stages/join.py). THE shared shard-tagging
+    step: every shard-vectorized operator funnels through here so the
+    hashing/sizing policy lives in exactly one place."""
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if n_shards is None:
+        try:
+            import ray as _ray
+
+            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+        except Exception:
+            n_shards = 64
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = None
+        for k in keys:
+            hk = pd.util.hash_array(t[k].to_pandas().to_numpy(), categorize=False)
+            h = hk if h is None else (h * np.uint64(1_000_003)) ^ hk
+        # splitmix finalizer: low-entropy key combinations still spread
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> np.uint64(31))
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
+
+    return ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def order_check(
     ds: ray.data.Dataset,
     key_col: str = "user_id",
@@ -133,20 +169,6 @@ def order_check(
     numpy pass — per-key map_groups tasks would hit the task-overhead cliff
     at millions of keys."""
     import pandas as pd
-
-    try:
-        import ray as _ray
-
-        n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-    except Exception:
-        n_shards = 64
-
-    def add_shard(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pandas()
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-        return b.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
 
     def fn(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_shard"])
@@ -175,8 +197,9 @@ def order_check(
             }
         )
 
-    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return sharded.groupby("_shard").map_groups(fn, batch_format="pyarrow")
+    return shard_by_key(ds, key_col).groupby("_shard").map_groups(
+        fn, batch_format="pyarrow"
+    )
 
 
 def power_join_projection(
@@ -247,31 +270,12 @@ def sharded_group_sum(
     exchange carries partials, not rows."""
     import pandas as pd
 
-    if n_shards is None:
-        try:
-            import ray as _ray
-
-            n_shards = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-        except Exception:
-            n_shards = 64
-
-    def add_shard(t: pa.Table) -> pa.Table:
-        h = None
-        for k in keys:
-            hk = pd.util.hash_array(t[k].to_pandas().to_numpy(), categorize=False)
-            h = hk if h is None else (h * np.uint64(1_000_003)) ^ hk
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = h ^ (h >> np.uint64(31))
-        return t.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
-
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(keys, sort=False, as_index=False)[list(sums)].sum()
         return out.rename(columns=sums)
 
     return (
-        ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        shard_by_key(ds, keys, n_shards)
         .groupby("_shard")
         .map_groups(agg, batch_format="pandas")
     )

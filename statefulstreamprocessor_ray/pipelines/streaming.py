@@ -168,11 +168,18 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
     shutil.rmtree(tmp_dir, ignore_errors=True)
     if tail_from is not None:
         new_files = files[tail_from:]
-        existing = list_epochs(part_dir)
-        next_epoch = (existing[-1] + 1) if existing else 0
-        n_groups = (len(new_files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch
+        fpe = cfg.files_per_epoch
+        # CRASH-IDEMPOTENT numbering: the next epoch derives from the MARKER
+        # (the committed prefix's group count), never from list_epochs() — a
+        # crash between the dir moves below and the marker rewrite must
+        # re-run the SAME epoch numbers and overwrite the half-moved dirs,
+        # not append the same rows again under fresh numbers (review finding)
+        next_epoch = done.get("n_epochs")
+        if next_epoch is None:  # marker predates n_epochs: derive from files
+            next_epoch = (len(done["fingerprint"]) + fpe - 1) // fpe
+        n_groups = (len(new_files) + fpe - 1) // fpe
         for g in range(n_groups):
-            group = new_files[g * cfg.files_per_epoch : (g + 1) * cfg.files_per_epoch]
+            group = new_files[g * fpe : (g + 1) * fpe]
             ds = ray.data.read_parquet(group).map_batches(
                 lambda b, fe=next_epoch + g: tag_and_partition(b, fe),
                 batch_format="pyarrow",
@@ -183,17 +190,15 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
                 partition_cols=["shard", "epoch"],
                 compression=cfg.intermediate_compression,
             )
-        # move each freshly written epoch dir into the live layout; the
-        # marker is rewritten only after every move, so a crash mid-append
-        # re-runs the (idempotent) tail partition on the next invocation
         for sd in sorted(os.listdir(tmp_dir)):
             if not sd.startswith("shard="):
                 continue
             os.makedirs(os.path.join(part_dir, sd), exist_ok=True)
             for ed in sorted(os.listdir(os.path.join(tmp_dir, sd))):
-                os.replace(
-                    os.path.join(tmp_dir, sd, ed), os.path.join(part_dir, sd, ed)
-                )
+                dst = os.path.join(part_dir, sd, ed)
+                if os.path.isdir(dst):  # leftover of a crashed prior attempt
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(tmp_dir, sd, ed), dst)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         with open(marker, "w") as m:
             json.dump(
@@ -202,6 +207,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
                     "n_shards": cfg.n_shards,
                     "epoch_by": cfg.epoch_by,
                     "columns": sorted(set(keep_cols)),
+                    "n_epochs": next_epoch + n_groups,
                 },
                 m,
             )
@@ -245,6 +251,13 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
                 "n_shards": cfg.n_shards,
                 "epoch_by": cfg.epoch_by,
                 "columns": sorted(set(keep_cols)),
+                # committed group count: the tail-append path numbers its new
+                # epochs from here (crash-idempotent; see the tail branch)
+                "n_epochs": (
+                    (len(files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch
+                    if cfg.epoch_by == "arrival"
+                    else None
+                ),
             },
             m,
         )

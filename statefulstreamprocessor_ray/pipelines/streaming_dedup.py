@@ -5,9 +5,11 @@ The continuous-ingest form of ``stages/dedup.exact_dedup``: documents arrive
 as files (arrival-order epochs); a document is emitted iff its content was
 never seen in ANY earlier epoch (and, within its first epoch, it is the
 min-id holder of that content). Per-shard state = the sorted array of seen
-content hashes — O(distinct contents), the minimum any exact dedup must
-hold; shard = hash(content) % K, so a given content always lands on the same
-shard and the state never needs cross-shard reconciliation.
+128-BIT md5 content digests — O(distinct contents), the minimum any exact
+dedup must hold, and collision odds stay negligible even at 10^12 distinct
+contents (a 64-bit key would already be ~3% likely to collide at 10^9);
+shard = digest % K, so a given content always lands on the same shard and
+the state never needs cross-shard reconciliation.
 
 Same exactly-once protocol as the other streaming jobs: staged parts +
 atomic epoch manifests + checkpointed shard state; a second run over
@@ -47,10 +49,27 @@ class StreamingDedupConfig:
     intermediate_compression: str = "none"  # see streaming.py note
 
 
-def _content_hash(texts: pd.Series) -> np.ndarray:
-    return pd.util.hash_array(
-        texts.fillna("").to_numpy(dtype=object), categorize=False
-    )
+def _content_hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit md5 digest as (lo, hi) uint64 arrays — 64-bit identity
+    is not enough for 'exact' dedup at the 10^12-doc target (review
+    finding); 128 bits keeps birthday collisions negligible."""
+    import hashlib
+
+    n = len(texts)
+    lo = np.empty(n, np.uint64)
+    hi = np.empty(n, np.uint64)
+    for i, s in enumerate(texts.fillna("")):
+        d = hashlib.md5(s.encode()).digest()
+        lo[i] = int.from_bytes(d[:8], "little")
+        hi[i] = int.from_bytes(d[8:], "little")
+    return lo, hi
+
+
+# NOTE on membership testing: packing the two digest halves into complex128
+# or 'S16' for np.isin is NOT exact — a half whose bit pattern is a float
+# NaN never equals itself, and numpy byte-string comparison stops at null
+# bytes. Membership is therefore a two-column pandas merge (vectorized hash
+# join on both uint64 halves, bit-exact).
 
 
 def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
@@ -90,14 +109,15 @@ def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
 
     def tag(batch: pa.Table, epoch: int) -> pa.Table:
         texts = batch[text_col].to_pandas()
-        h = _content_hash(texts)
+        lo, hi = _content_hash128(texts)
         return pa.table(
             {
                 id_col: batch[id_col],
                 text_col: batch[text_col],
-                "content_hash": pa.array(h.view(np.int64), pa.int64()),
+                "hash_lo": pa.array(lo.view(np.int64), pa.int64()),
+                "hash_hi": pa.array(hi.view(np.int64), pa.int64()),
                 "shard": pa.array(
-                    (h % np.uint64(n_shards)).astype(np.int32), pa.int32()
+                    (lo % np.uint64(n_shards)).astype(np.int32), pa.int32()
                 ),
                 "epoch": pa.array(
                     np.full(batch.num_rows, epoch, np.int64), pa.int64()
@@ -111,16 +131,13 @@ def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     if tail_from is not None:
         new_files = files[tail_from:]
-        existing = sorted(
-            {
-                int(e.split("=")[1])
-                for sd in os.listdir(part_dir)
-                if sd.startswith("shard=")
-                for e in os.listdir(os.path.join(part_dir, sd))
-                if e.startswith("epoch=")
-            }
-        )
-        next_epoch = (existing[-1] + 1) if existing else 0
+        # crash-idempotent numbering from the MARKER, not the (possibly
+        # half-moved) layout — see streaming.partition_input's tail branch
+        next_epoch = done.get("n_epochs")
+        if next_epoch is None:
+            next_epoch = (
+                len(done["fingerprint"]) + cfg.files_per_epoch - 1
+            ) // cfg.files_per_epoch
         groups = [
             new_files[g : g + cfg.files_per_epoch]
             for g in range(0, len(new_files), cfg.files_per_epoch)
@@ -148,15 +165,19 @@ def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
                 continue
             os.makedirs(os.path.join(part_dir, sd), exist_ok=True)
             for ed in sorted(os.listdir(os.path.join(tmp, sd))):
-                os.replace(
-                    os.path.join(tmp, sd, ed), os.path.join(part_dir, sd, ed)
-                )
+                dst = os.path.join(part_dir, sd, ed)
+                if os.path.isdir(dst):  # leftover of a crashed prior attempt
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(tmp, sd, ed), dst)
         shutil.rmtree(tmp, ignore_errors=True)
     else:
         shutil.rmtree(part_dir, ignore_errors=True)
         os.replace(tmp, part_dir)
     with open(marker, "w") as m:
-        json.dump(dict(layout, fingerprint=fingerprint), m)
+        json.dump(
+            dict(layout, fingerprint=fingerprint, n_epochs=next_epoch + len(groups)),
+            m,
+        )
     return part_dir
 
 
@@ -168,11 +189,13 @@ class DedupShardActor:
         self.shard_id = shard_id
         self.id_col = cfg_dict["id_col"]
         self.text_col = cfg_dict["text_col"]
-        self.seen = np.array([], np.int64)  # sorted content hashes
+        self.seen_lo = np.array([], np.uint64)
+        self.seen_hi = np.array([], np.uint64)
         self.ckpt = CheckpointStore(ckpt_dir)
 
     def restore(self, last_committed_epoch: int) -> int:
-        self.seen = np.array([], np.int64)
+        self.seen_lo = np.array([], np.uint64)
+        self.seen_hi = np.array([], np.uint64)
         if last_committed_epoch < 0:
             self.ckpt.prune_after(self.shard_id, -(2**62))
             return -1
@@ -181,7 +204,8 @@ class DedupShardActor:
         if found is None:
             return -1
         epoch, snap = found
-        self.seen = snap["seen"]
+        self.seen_lo = snap["seen_lo"]
+        self.seen_hi = snap["seen_hi"]
         return epoch
 
     def process_epoch(self, epoch: int, epoch_dir: str | None, sink_dir: str) -> dict:
@@ -191,21 +215,26 @@ class DedupShardActor:
         else:
             t = None
         if t is not None and t.num_rows:
+            lo = t["hash_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
+            hi = t["hash_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
             df = pd.DataFrame(
                 {
                     self.id_col: t[self.id_col].to_numpy(zero_copy_only=False),
                     self.text_col: t[self.text_col].to_pandas(),
-                    "h": t["content_hash"].to_numpy(zero_copy_only=False),
+                    "lo": lo,
+                    "hi": hi,
                 }
             )
             # within-epoch first occurrence: min id per content
-            df = df.sort_values([self.id_col]).drop_duplicates("h", keep="first")
-            # cross-epoch: drop contents already seen
-            fresh = ~np.isin(df["h"].to_numpy(), self.seen)
-            kept = df[fresh]
-            self.seen = np.unique(
-                np.concatenate([self.seen, kept["h"].to_numpy()])
+            df = df.sort_values([self.id_col]).drop_duplicates(
+                ["lo", "hi"], keep="first"
             )
+            # cross-epoch: drop contents already seen (exact two-column join)
+            seen_df = pd.DataFrame({"lo": self.seen_lo, "hi": self.seen_hi})
+            merged = df.merge(seen_df, on=["lo", "hi"], how="left", indicator=True)
+            kept = merged[merged["_merge"] == "left_only"]
+            self.seen_lo = np.concatenate([self.seen_lo, kept["lo"].to_numpy(np.uint64)])
+            self.seen_hi = np.concatenate([self.seen_hi, kept["hi"].to_numpy(np.uint64)])
             out = pa.table(
                 {
                     self.id_col: pa.array(
@@ -219,9 +248,11 @@ class DedupShardActor:
                 {self.id_col: pa.array([], pa.int64()), self.text_col: pa.array([], pa.string())}
             )
         part = sink.stage_part(epoch, f"shard{self.shard_id:04d}", out)
-        self.ckpt.save(self.shard_id, epoch, {"seen": self.seen})
+        self.ckpt.save(
+            self.shard_id, epoch, {"seen_lo": self.seen_lo, "seen_hi": self.seen_hi}
+        )
         part["shard"] = self.shard_id
-        part["n_seen"] = int(len(self.seen))
+        part["n_seen"] = int(len(self.seen_lo))
         return part
 
 

@@ -86,7 +86,14 @@ def normalize_epoch_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return out
 
 
-_ISO_OFFSET_RE = r"([Zz]|[+-][0-9]{2}:?[0-9]{2}(:[0-9]{2})?)$"
+# A UTC offset is only valid AFTER a time-of-day (fromisoformat grammar), so
+# the pattern anchors on a preceding HH:MM[:SS[.ffffff]] and keeps it via the
+# \1 backreference — hour-only offsets ('+05') are then unambiguous, while a
+# date-only string's trailing '-23' never matches (no time before it).
+_ISO_OFFSET_RE = (
+    r"^(.*[0-9]:[0-9]{2}(:[0-9]{2})?(\.[0-9]+)?)"
+    r"([Zz]|[+-][0-9]{2}(:?[0-9]{2})?(:[0-9]{2}(\.[0-9]+)?)?)$"
+)
 
 
 def normalize_iso_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -104,7 +111,9 @@ def normalize_iso_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    stripped = pc.replace_substring_regex(arr, pattern=_ISO_OFFSET_RE, replacement="")
+    stripped = pc.replace_substring_regex(
+        arr, pattern=_ISO_OFFSET_RE, replacement=r"\1"
+    )
     # pandas' ISO8601 fast path: vectorized C parser, fractional seconds and
     # date-only forms included; errors coerce to NaT
     ts = pd.to_datetime(stripped.to_pandas(), format="ISO8601", errors="coerce")

@@ -106,17 +106,15 @@ def decontaminate(
                 batch, k, text_col, id_col, hash_fn="md5"
             )
             hit = np.isin(hashes, self.bench)
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            if len(hashes):
-                # zero-shingle docs make zero-length reduceat segments; clip
-                # the trailing start (reduceat raises past the end) and mask
-                # their bogus single-element sums to 0 below
-                n_overlap = np.add.reduceat(
-                    hit, np.minimum(starts, len(hashes) - 1), dtype=np.int64
-                )
-            else:
-                n_overlap = np.zeros(len(counts), np.int64)
-            n_overlap = np.where(counts > 0, n_overlap, 0)
+            # reduceat over NONZERO docs only (the SimHashStage pattern):
+            # clipping a trailing zero-count start instead would merge the
+            # last nonzero doc's segment with the clip target and undercount
+            # its overlap (found in review; regression-tested)
+            nonzero = counts > 0
+            n_overlap = np.zeros(len(counts), np.int64)
+            if nonzero.any():
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonzero]
+                n_overlap[nonzero] = np.add.reduceat(hit, starts, dtype=np.int64)
             out = {id_col: np.asarray(batch[id_col], np.int64)}
             for c in keep_cols:
                 out[c] = batch[c].to_numpy()
@@ -250,20 +248,7 @@ def render_conversations(
     Shard-vectorized like the session operators (hash(key) % P, one task per
     shard, one pandas group-agg per shard — no per-key tasks).
     Output: (key, n_turns, rendered)."""
-    if n_shards is None:
-        try:
-            import ray as _ray
-
-            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-        except Exception:
-            n_shards = 64
-
-    def add_shard(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pandas()
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-        return b.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
+    from statefulstreamprocessor_ray.functions.ops import shard_by_key
 
     def render_shard(g: pa.Table) -> pd.DataFrame:
         g = g.drop_columns(["_shard"])
@@ -286,7 +271,9 @@ def render_conversations(
         out["n_turns"] = out["n_turns"].astype(np.int64)
         return out
 
-    sharded = transcripts.select_columns(
+    pruned = transcripts.select_columns(
         [key_col, ts_col, tie_col, role_col, text_col]
-    ).map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return sharded.groupby("_shard").map_groups(render_shard, batch_format="pyarrow")
+    )
+    return shard_by_key(pruned, key_col, n_shards).groupby("_shard").map_groups(
+        render_shard, batch_format="pyarrow"
+    )

@@ -819,6 +819,8 @@ def embedding_dup_pairs(
         pairs = sel.map_batches(
             block_pairs, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
+        if pairs.empty:  # zero pairs -> Ray loses the empty frame's schema
+            pairs = pd.DataFrame({c: [] for c in ("vec_a", "vec_b", "cos_r")})
     elif mode == "ivf":
         sample_parts = list(
             sel.limit(train_sample).iter_batches(
@@ -893,6 +895,8 @@ def embedding_dup_pairs(
             .map_groups(pairs_in_list, batch_format="pyarrow")
             .to_pandas()
         )
+        if pairs.empty:  # zero pairs -> Ray loses the empty frame's schema
+            pairs = pd.DataFrame({c: [] for c in ("vec_a", "vec_b", "cos_r")})
         pairs = pairs.drop_duplicates(["vec_a", "vec_b"])
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -682,20 +682,7 @@ def asof_join_tagged(
     ``searchsorted`` across ALL keys at once."""
     import pandas as pd
 
-    if n_shards is None:
-        try:
-            import ray as _ray
-
-            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-        except Exception:
-            n_shards = 64
-
-    def add_shard(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pandas()
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-        return b.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
+    from statefulstreamprocessor_ray.functions.ops import shard_by_key
 
     def fn(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_shard"])
@@ -754,8 +741,9 @@ def asof_join_tagged(
             )
         return pa.table(cols)
 
-    sharded = tagged.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return sharded.groupby("_shard").map_groups(fn, batch_format="pyarrow")
+    return shard_by_key(tagged, key_col, n_shards).groupby("_shard").map_groups(
+        fn, batch_format="pyarrow"
+    )
 
 
 def ordered_join(

@@ -71,22 +71,13 @@ def partitioned_join(
     import ray as _ray
 
     right_on = right_on or left_on
+    from statefulstreamprocessor_ray.functions.ops import shard_by_key
+
     if n_shards is None:
         try:
             n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
         except Exception:
             n_shards = 64
-
-    def add_shard(key_col):
-        def fn(b: pa.Table) -> pa.Table:
-            keys = b[key_col].to_pandas()
-            h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-            return b.append_column(
-                "_shard",
-                pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32()),
-            )
-
-        return fn
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -99,7 +90,12 @@ def partitioned_join(
     l_schema, r_schema = left.schema(), right.schema()
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
-    overlap = (set(left_cols) & set(right_cols)) - {left_on, right_on}
+    # a shared name is only legitimate when it is the join key on BOTH sides;
+    # subtracting both key names unconditionally would let e.g. right-side
+    # column 'k' slip past when left_on='k', right_on='rk' (silent _x/_y
+    # suffixes downstream)
+    allowed = {left_on} if left_on == right_on else set()
+    overlap = (set(left_cols) & set(right_cols)) - allowed
     if overlap:
         raise ValueError(
             f"partitioned_join: rename overlapping non-key columns {sorted(overlap)}"
@@ -129,9 +125,9 @@ def partitioned_join(
         return fn
 
     lt = left.map_batches(widen(0), batch_format="pyarrow", zero_copy_batch=True)
-    lt = lt.map_batches(add_shard(left_on), batch_format="pyarrow", zero_copy_batch=True)
+    lt = shard_by_key(lt, left_on, n_shards)
     rt = right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True)
-    rt = rt.map_batches(add_shard(right_on), batch_format="pyarrow", zero_copy_batch=True)
+    rt = shard_by_key(rt, right_on, n_shards)
 
     def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_jside"].to_numpy()

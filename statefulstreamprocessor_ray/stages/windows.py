@@ -98,27 +98,12 @@ def assign_sliding(
 
 
 def _session_shards(ds: ray.data.Dataset, key_col: str, n_shards: int | None):
-    """(sharded dataset, shard-group fn wrapper): the ordered-join `_shard`
-    exchange — hash(key) % P, ONE task per shard — instead of one task per
-    key (the per-group-overhead trap at millions of keys)."""
-    import pandas as pd
+    """The ordered-join `_shard` exchange — hash(key) % P, ONE task per
+    shard — instead of one task per key (the per-group-overhead trap at
+    millions of keys). Delegates to the shared shard_by_key helper."""
+    from statefulstreamprocessor_ray.functions.ops import shard_by_key
 
-    if n_shards is None:
-        try:
-            import ray as _ray
-
-            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-        except Exception:
-            n_shards = 64
-
-    def add_shard(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pandas()
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-        return b.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
-
-    return ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return shard_by_key(ds, key_col, n_shards)
 
 
 def _session_breaks(group: pa.Table, gap_us: int, key_col: str, ts_col: str):

@@ -221,3 +221,19 @@ def test_packing_invariants(ray_session, toks, budget):
         if order[i] != order[i - 1]:
             prev_total = out.n_tokens[order == order[i - 1]].sum()
             assert prev_total + out.n_tokens[i] > budget
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_trailing_empty_doc_regression():
+    # review finding: a zero-shingle doc AFTER a contaminated doc used to
+    # corrupt the previous doc's reduceat segment (undercount by its last
+    # shingle -> contaminated doc reported clean)
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [10, 11], "text": ["zzz alpha beta gamma", ""]})
+    )
+    out = curation.decontaminate(ds, bench, k=3).to_pandas().sort_values("doc_id")
+    assert out.contaminated.tolist() == [True, False]
+    assert out.n_overlap.tolist() == [1, 0]  # the shared tail 3-gram

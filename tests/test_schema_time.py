@@ -29,6 +29,10 @@ CASES = [
     "2021-04-23T10:00:00.123+00:00",
     "2021-04-23 10:00:00.5",  # space separator, fromisoformat-accepted
     "2021-04-23",  # date-only -> midnight UTC
+    "2021-04-23T10:00:00+05",  # hour-only offset (3.11 fromisoformat)
+    "2021-04-23T10:00+0530",  # no-colon offset, minute-precision time
+    "2021-04-23T10:00:00-08:30:15",  # seconds-bearing offset
+    "2021-04-23 10:00:00.5Z",  # Z suffix
 ]
 
 

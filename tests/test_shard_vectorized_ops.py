@@ -271,3 +271,23 @@ def test_sharded_group_sum_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_embedding_dup_zero_pair_inputs(ray_session):
+    # review finding: zero above-threshold pairs used to KeyError on the
+    # column-less empty frame in BOTH modes
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(50, dtype=np.int64),
+            "embedding": [rng.standard_normal(16).astype("float32") for _ in range(50)],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    assert dedup.embedding_dup_pairs(ds, threshold=0.9999, mode="exact").num_rows == 0
+    assert (
+        dedup.embedding_dup_pairs(
+            ds, threshold=0.9999, mode="ivf", n_list=8, seed=23
+        ).num_rows
+        == 0
+    )

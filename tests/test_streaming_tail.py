@@ -101,3 +101,63 @@ def test_follow_the_tail_appends_epochs(tmp_path):
     # third run: nothing new -> zero emissions (idempotent-replay proof)
     stats3 = StreamingJoinJob(cfg).run()
     assert stats3["epochs_processed"] == 0 and stats3["rows_emitted"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_append_is_crash_idempotent(tmp_path):
+    """A crash between the epoch-dir moves and the marker rewrite must NOT
+    duplicate the appended rows under fresh epoch numbers on retry: epoch
+    numbering derives from the marker, and the retry overwrites the
+    half-moved dirs (review finding)."""
+    import json
+
+    from statefulstreamprocessor_ray.pipelines.streaming import partition_input
+
+    input_dir, paths = _ts_sorted_files(tmp_path, n_files=3)
+    hidden = tmp_path / "hidden.parquet"
+    os.replace(paths[2], hidden)
+    cfg = _cfg(tmp_path, input_dir)
+    part_dir = partition_input(cfg)
+    marker = os.path.join(part_dir, "_partition_done.json")
+    with open(marker) as f:
+        pre_tail_marker = f.read()
+
+    os.replace(hidden, paths[2])
+    partition_input(cfg)  # tail append completes (epoch=2 moved, marker new)
+    # simulate the crash: marker rewrite "didn't happen"
+    with open(marker, "w") as f:
+        f.write(pre_tail_marker)
+    partition_input(cfg)  # retry must overwrite epoch=2, not create epoch=3
+
+    epochs = sorted(
+        {
+            int(e.split("=")[1])
+            for sd in os.listdir(part_dir)
+            if sd.startswith("shard=")
+            for e in os.listdir(os.path.join(part_dir, sd))
+            if e.startswith("epoch=")
+        }
+    )
+    assert epochs == [0, 1, 2]  # no duplicated epoch=3
+
+    def epoch2_rows(pdir):
+        return sum(
+            pq.read_table(os.path.join(pdir, sd, "epoch=2")).num_rows
+            for sd in os.listdir(pdir)
+            if sd.startswith("shard=")
+            and os.path.isdir(os.path.join(pdir, sd, "epoch=2"))
+        )
+
+    # epoch=2 holds exactly what a FRESH full partition puts there (tagging
+    # filters source rows, so compare layouts, not raw file rows)
+    fresh_cfg = StreamingJoinConfig(
+        input_path=input_dir,
+        work_dir=str(tmp_path / "work_fresh"),
+        out_dir=str(tmp_path / "out_fresh"),
+        n_shards=3,
+        epoch_by="arrival",
+        files_per_epoch=1,
+        delta_time=5.0,
+    )
+    fresh_dir = partition_input(fresh_cfg)
+    assert epoch2_rows(part_dir) == epoch2_rows(fresh_dir) > 0
