@@ -7,7 +7,7 @@ the library) calls ``ray.init()`` / ``ray.shutdown()``.
   join) over /root/testdata/sf0.001.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2 +
   training-data ops), callables of ``sf_dir``.
-- ``oracle_sql()``: DuckDB equivalents for EVERY query (45/45 as of round 2
+- ``oracle_sql()``: DuckDB equivalents for EVERY query (47/47 as of round 2
   — the sketches are recomputed in SQL: md5-hash simhash, baked-constant LSH
   planes, closed-form IVF centroids; the ordered-join family uses the
   closed-form window-function oracle).

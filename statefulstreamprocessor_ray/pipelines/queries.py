@@ -531,6 +531,18 @@ def q_streaming_dedup(sf_dir):
     )
 
 
+def q_scrub_text(sf_dir):
+    """PII/URL scrubbing pass (emails -> <EMAIL>, URLs -> <URL>) with
+    per-pattern hit counts; regexes compiled once per actor."""
+    return curation.scrub_text(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_repetition_stats(sf_dir):
+    """Gopher-style repetition signals: token count, distinct tokens,
+    most-frequent-token fraction (exact double division, SQL-bit-identical)."""
+    return curation.repetition_stats(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_stratified_sample(sf_dir):
     """Deterministic stratified sampling: md5-hash Bernoulli per doc_id with
     per-language rates — no RNG state anywhere, so the sample is stable
@@ -799,6 +811,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "render_conversations": q_render_conversations,
     "streaming_dedup": q_streaming_dedup,
+    "scrub_text": q_scrub_text,
+    "repetition_stats": q_repetition_stats,
     "doc_embedding_join": q_doc_embedding_join,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
@@ -1650,4 +1664,43 @@ FROM m GROUP BY conv_id
 ORACLE_SQL["streaming_dedup"] = """
 SELECT doc_id, text FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+# scrub_text: same RE2-and-Python-compatible patterns applied in the same
+# ORDER (urls counted on the email-scrubbed string, as the engine does)
+ORACLE_SQL["scrub_text"] = """
+WITH s0 AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s0
+)
+SELECT doc_id,
+       regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS text,
+       n_email,
+       CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url
+FROM s1
+"""
+
+# repetition_stats: same tokenization as the shingle oracles; top-token
+# fraction is an EXACT int/int double division on both sides (no rounding —
+# DuckDB rounds half-away, Python half-even; 128-token docs would diverge)
+ORACLE_SQL["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(ws) AS w FROM t
+), c AS (
+  SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top
+  FROM c GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_distinct, 0) AS BIGINT) AS n_distinct,
+       coalesce(CAST(agg.top AS DOUBLE) / agg.n_tokens, 0.0) AS top_token_frac
+FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
 """

@@ -277,3 +277,78 @@ def render_conversations(
     return shard_by_key(pruned, key_col, n_shards).groupby("_shard").map_groups(
         render_shard, batch_format="pyarrow"
     )
+
+SCRUB_PATTERNS = {
+    # RE2-compatible AND Python-re-compatible (no lookaround), so the engine
+    # and the DuckDB oracle apply literally the same expressions
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def scrub_text(
+    ds: ray.data.Dataset,
+    patterns: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """PII/URL scrubbing: replace each pattern with ``<NAME>`` tokens and
+    count per-pattern hits — the standard pre-training text hygiene pass.
+    Regexes compile once per ACTOR (the canonical stateful-stage shape);
+    per batch it is one vectorized pandas str.count/str.replace per pattern.
+    Output: (id, text, n_<name>... ) with text scrubbed in pattern order."""
+    pats = patterns or SCRUB_PATTERNS
+
+    class Scrubber:
+        def __init__(self):
+            import re
+
+            self.compiled = {name: re.compile(p) for name, p in pats.items()}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch[text_col].fillna("")
+            out = {id_col: np.asarray(batch[id_col], np.int64)}
+            counts = {}
+            for name, rx in self.compiled.items():
+                counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
+                s = s.str.replace(rx, f"<{name.upper()}>", regex=True)
+            out[text_col] = s
+            out.update(counts)
+            return pd.DataFrame(out)
+
+    return ds.map_batches(Scrubber, batch_format="pandas", concurrency=(1, 8))
+
+
+def repetition_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style repetition signals per doc: token count, distinct-token
+    count, and the most-frequent-token fraction (high values flag boilerplate
+    / degenerate text). One tokenize + np.unique pass per doc; no shuffle."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, n_tok, n_dis, top_frac = [], [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = text.lower().split()
+            ids.append(doc_id)
+            n_tok.append(len(toks))
+            if toks:
+                _, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                n_dis.append(len(cnts))
+                # exact int/int double division matches DuckDB bit-for-bit
+                top_frac.append(int(cnts.max()) / len(toks))
+            else:
+                n_dis.append(0)
+                top_frac.append(0.0)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, np.int64),
+                "n_tokens": np.asarray(n_tok, np.int64),
+                "n_distinct": np.asarray(n_dis, np.int64),
+                "top_token_frac": np.asarray(top_frac, np.float64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

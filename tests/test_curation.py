@@ -237,3 +237,36 @@ def test_decontaminate_trailing_empty_doc_regression():
     out = curation.decontaminate(ds, bench, k=3).to_pandas().sort_values("doc_id")
     assert out.contaminated.tolist() == [True, False]
     assert out.n_overlap.tolist() == [1, 0]  # the shared tail 3-gram
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scrub_text_patterns_and_counts():
+    docs = [
+        "contact me at foo.bar+x@example.com today",
+        "see https://example.com/a?b=1 and http://x.io",
+        "clean text only",
+        "mail a@b.co at https://c.d/e",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
+    )
+    out = curation.scrub_text(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.n_email.tolist() == [1, 0, 0, 1]
+    assert out.n_url.tolist() == [0, 2, 0, 1]
+    assert out.text[0] == "contact me at <EMAIL> today"
+    assert out.text[1] == "see <URL> and <URL>"
+    assert out.text[3] == "mail <EMAIL> at <URL>"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_signals():
+    docs = ["the the the the cat", "all words differ here", ""]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": docs})
+    )
+    out = (
+        curation.repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [5, 4, 0]
+    assert out.n_distinct.tolist() == [2, 4, 0]
+    assert out.top_token_frac.tolist() == [0.8, 0.25, 0.0]
