@@ -7,10 +7,13 @@ the library) calls ``ray.init()`` / ``ray.shutdown()``.
   join) over /root/testdata/sf0.001.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2 +
   training-data ops), callables of ``sf_dir``.
-- ``oracle_sql()``: DuckDB equivalents for EVERY query (47/47 as of round 2
-  — the sketches are recomputed in SQL: md5-hash simhash, baked-constant LSH
-  planes, closed-form IVF centroids; the ordered-join family uses the
-  closed-form window-function oracle).
+- ``oracle_sql()``: DuckDB equivalents for EVERY query — the sketches are
+  recomputed in SQL: md5-hash simhash, baked-constant LSH planes,
+  closed-form IVF centroids; the ordered-join family uses the closed-form
+  window-function oracle. (Round-2 driver run: 46/47 hash-green; the one
+  miss, ``doc_embedding_join``, was a pandas int->float64 widening in the
+  shard merge — fixed in round 3 by doing the merge in Arrow and pinning
+  output order; re-verified against the checker.)
 """
 
 from __future__ import annotations

@@ -455,9 +455,11 @@ def q_dedup_exact(sf_dir):
 
 def q_doc_embedding_join(sf_dir):
     """Plain relational equi-join (documents ⋈ embeddings on id): ONE
-    int-keyed co-shuffle (hash(key) % P) + a vectorized pandas merge per
-    shard — the attach-metadata primitive around the stream operators. The
-    broadcast variant (small side via ray.put) is pytest-covered."""
+    int-keyed co-shuffle (hash(key) % P) + an Arrow hash-join per shard —
+    the attach-metadata primitive around the stream operators. The
+    broadcast variant (small side via ray.put) is pytest-covered. Output
+    order is pinned (sort by doc_id) and dtypes ride through Arrow-native,
+    so the driver's value hash is deterministic."""
     docs = _documents(sf_dir, columns=["doc_id", "lang", "source"])
     emb = _embeddings(sf_dir).select_columns(["vec_id", "label"])
     out = relational.partitioned_join(docs, emb, left_on="doc_id", right_on="vec_id")
@@ -465,7 +467,7 @@ def q_doc_embedding_join(sf_dir):
         lambda t: t.select(["doc_id", "lang", "source", "label"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).sort("doc_id")
 
 
 def q_chunk_documents(sf_dir):

@@ -58,6 +58,67 @@ def test_partitioned_join_matches_pandas(how):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_partitioned_join_preserves_int_dtypes_and_big_keys():
+    """Regression (ADVICE r2, high): the pandas-based shard merge widened int
+    columns with NaN-backed nulls to float64, losing precision above 2^53.
+    The Arrow merge must keep int64 keys (incl. a 2^60 value) and int32
+    payloads exact, in inner AND left joins."""
+    import pyarrow as pa
+
+    left = pd.DataFrame(
+        {"k": np.array([1, 2, 3, 2**60], np.int64), "lval": np.arange(4, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.array([2, 3, 2**60], np.int64), "rval": np.array([5, 6, 7], np.int32)}
+    )
+    for how, want_rows in (("inner", 3), ("left", 4)):
+        out = relational.partitioned_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_on="k",
+            right_on="rk",
+            how=how,
+            n_shards=5,
+        )
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        assert t.schema.field("k").type == pa.int64()
+        assert t.schema.field("rval").type == pa.int32()
+        assert t.num_rows == want_rows
+        assert 2**60 in t["k"].to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_join_reconciles_or_rejects_key_types():
+    """Equal key values must land on the same shard: int32⋈int64 widens both
+    keys to int64; int⋈float raises (lossy above 2^53) instead of silently
+    dropping every match."""
+    import pyarrow as pa
+
+    left32 = pd.DataFrame({"k": np.array([1, 2, 3], np.int32), "lval": [1, 2, 3]})
+    right = pd.DataFrame({"rk": np.array([2, 3, 9], np.int64), "rval": [5, 6, 7]})
+    t = pa.concat_tables(
+        relational.partitioned_join(
+            ray.data.from_pandas(left32),
+            ray.data.from_pandas(right),
+            left_on="k",
+            right_on="rk",
+            n_shards=3,
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert t.schema.field("k").type == pa.int64()
+    assert sorted(t["k"].to_pylist()) == [2, 3]
+
+    rightf = right.assign(rk=right["rk"].astype(np.float64))
+    with pytest.raises(ValueError, match="key type mismatch"):
+        relational.partitioned_join(
+            ray.data.from_pandas(left32),
+            ray.data.from_pandas(rightf),
+            left_on="k",
+            right_on="rk",
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partitioned_join_rejects_column_collision():
     left = pd.DataFrame({"k": [1], "v": [2]})
     right = pd.DataFrame({"k": [1], "v": [3]})
