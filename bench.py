@@ -87,37 +87,50 @@ def bench_flagship(tpath: str) -> dict:
 
 
 def bench_streaming(tpath: str, tag: str) -> dict:
-    import ray
-
+    """Warm-up + min-of-2 (same discipline as bench_flagship): a single cold
+    run conflates page-cache state, Ray worker spin-up and phase-0 disk-write
+    contention with the epoch loop — the r2 driver read 25.7 s where the same
+    commit benched 3.4 s warmed. Each timed run uses a FRESH work dir (so it
+    pays a full phase-0) and reports phase0_sec / epoch_loop_sec separately."""
     from statefulstreamprocessor_ray.pipelines.streaming import (
         StreamingJoinConfig,
         StreamingJoinJob,
     )
 
-    base = f"/tmp/ssp_bench_stream_{tag}_{NUM_CPUS}_{os.getpid()}"
-    shutil.rmtree(base, ignore_errors=True)
-    cfg = StreamingJoinConfig(
-        input_path=tpath,
-        work_dir=f"{base}/work",
-        out_dir=f"{base}/out",
-        # epoch span = commit cadence (the reference's TRANSACTION_TIME knob):
-        # ~8 epochs over this corpus balances txn granularity vs barrier cost
-        n_shards=min(NUM_CPUS, 16),
-        epoch_duration_s=480.0,
-        delta_time=5.0,
-    )
-    t0 = time.time()
-    stats = StreamingJoinJob(cfg).run()
-    dt = time.time() - t0
-    shutil.rmtree(base, ignore_errors=True)
-    lags = [e.get("watermark_lag_us", 0) for e in stats.get("per_epoch", [])]
-    return {
-        "sec": dt,
-        "rows": stats["rows_emitted"],
-        "epochs": stats["epochs_processed"],
-        "joins_per_sec": stats["rows_emitted"] / dt,
-        "max_watermark_lag_us": max(lags) if lags else 0,
-    }
+    def one_run(run_idx: int, max_epochs: int | None = None) -> dict:
+        base = f"/tmp/ssp_bench_stream_{tag}_{NUM_CPUS}_{os.getpid()}_{run_idx}"
+        shutil.rmtree(base, ignore_errors=True)
+        cfg = StreamingJoinConfig(
+            input_path=tpath,
+            work_dir=f"{base}/work",
+            out_dir=f"{base}/out",
+            # epoch span = commit cadence (the reference's TRANSACTION_TIME
+            # knob): ~8 epochs over this corpus balances txn granularity vs
+            # barrier cost
+            n_shards=min(NUM_CPUS, 16),
+            epoch_duration_s=480.0,
+            delta_time=5.0,
+        )
+        t0 = time.time()
+        stats = StreamingJoinJob(cfg).run(max_epochs=max_epochs)
+        dt = time.time() - t0
+        shutil.rmtree(base, ignore_errors=True)
+        lags = [e.get("watermark_lag_us", 0) for e in stats.get("per_epoch", [])]
+        return {
+            "sec": dt,
+            "phase0_sec": stats.get("phase0_sec", 0.0),
+            "epoch_loop_sec": stats.get("epoch_loop_sec", 0.0),
+            "rows": stats["rows_emitted"],
+            "epochs": stats["epochs_processed"],
+            "joins_per_sec": stats["rows_emitted"] / dt,
+            "max_watermark_lag_us": max(lags) if lags else 0,
+        }
+
+    # untimed warm-up: full phase-0 write + one epoch of the join loop warms
+    # the worker pool, the input page cache and the /tmp write path
+    one_run(0, max_epochs=1)
+    runs = [one_run(i) for i in (1, 2)]
+    return min(runs, key=lambda r: r["sec"])
 
 
 def bench_windowed(sf_dir: str) -> dict:

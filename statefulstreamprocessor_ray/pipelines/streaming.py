@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -589,6 +590,7 @@ class StreamingJoinJob:
         """Run (or resume) the job; ``max_epochs`` limits this invocation to
         simulate a crash/stop for resume tests."""
         cfg = self.cfg
+        t_run0 = time.time()
         committed = self.sink.committed_epochs()
         last_committed = committed[-1] if committed else -1
 
@@ -610,6 +612,7 @@ class StreamingJoinJob:
         restore_refs = [s.restore.remote(last_committed) for s in shards]
 
         part_dir = partition_input(cfg)
+        phase0_sec = time.time() - t_run0
         epochs = list_epochs(part_dir)
         if committed != epochs[: len(committed)]:
             # explicit raise (not assert): exactly-once guard, survives -O
@@ -628,6 +631,11 @@ class StreamingJoinJob:
             )
 
         stats = {
+            # phase-0 partition pass (incl. actor spin-up overlap) vs the
+            # epoch submit/commit loop — split out so bench numbers can
+            # attribute disk-write noise separately from the join itself
+            "phase0_sec": round(phase0_sec, 3),
+            "epoch_loop_sec": 0.0,
             "epochs_total": len(epochs),
             "epochs_skipped": len(committed),
             "epochs_processed": 0,
@@ -740,6 +748,7 @@ class StreamingJoinJob:
 
         for s in shards:
             ray.kill(s)
+        stats["epoch_loop_sec"] = round(time.time() - t_run0 - phase0_sec, 3)
         with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
             json.dump(stats, f)
         return stats
