@@ -555,6 +555,7 @@ def q_stratified_sample(sf_dir):
         docs,
         rates_by={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25},
         stratum_col="lang",
+        hash_fn="md5",  # oracle mode: matches md5_number_lower in SQL
     )
 
 

@@ -1,8 +1,10 @@
 """Corpus-curation operators for training-data pipelines:
 
-- deterministic (optionally stratified) sampling — hash-Bernoulli per row
-  with DuckDB-reproducible ``md5_number_lower`` decisions, so a sample is
-  stable across runs/machines AND SQL-checkable (no RNG state anywhere);
+- deterministic (optionally stratified) sampling — hash-Bernoulli per row;
+  the default decision hash is one vectorized ``pd.util.hash_array`` call
+  over the id column (the scale path — sampling sees every corpus row), and
+  ``hash_fn="md5"`` swaps in DuckDB-reproducible ``md5_number_lower``
+  decisions so the oracle query stays SQL-checkable (no RNG state anywhere);
 - benchmark decontamination — flag/drop corpus documents sharing any
   k-gram with an evaluation set (the eval-set shingle table is small by
   definition: broadcast once via ``ray.put``, intersected per batch with
@@ -31,9 +33,17 @@ def deterministic_sample(
     rates_by: dict | None = None,
     stratum_col: str | None = None,
     id_col: str = "doc_id",
+    hash_fn: str = "sip",
 ) -> ray.data.Dataset:
-    """Keep a row iff ``md5_number_lower(CAST(id AS VARCHAR)) % 1e6 <
-    rate * 1e6`` — deterministic, machine-independent, SQL-reproducible.
+    """Keep a row iff ``hash(id) % 1e6 < rate * 1e6`` — deterministic,
+    machine-independent, no RNG state anywhere.
+
+    ``hash_fn="sip"`` (default, THE scale path) hashes the int64 id column
+    in one vectorized ``pd.util.hash_array`` call — sampling touches every
+    row of the corpus, so a per-row Python loop here is disqualifying.
+    ``hash_fn="md5"`` reproduces DuckDB's ``md5_number_lower(CAST(id AS
+    VARCHAR))`` decision byte-for-byte for the SQL-oracle-checked query (a
+    per-row hashlib loop; only used at oracle scale).
 
     ``rates_by`` + ``stratum_col`` gives per-stratum rates (e.g. downsample
     dominant languages); strata missing from the dict keep rate 0. At scale
@@ -43,10 +53,16 @@ def deterministic_sample(
         raise ValueError("pass exactly one of rate / rates_by")
     if rates_by is not None and stratum_col is None:
         raise ValueError("rates_by requires stratum_col")
+    if hash_fn not in ("sip", "md5"):
+        raise ValueError("hash_fn must be 'sip' or 'md5'")
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        h = _md5_u64([str(int(i)) for i in ids]) % np.uint64(SAMPLE_MOD)
+        if hash_fn == "md5":
+            h = _md5_u64([str(int(i)) for i in ids])
+        else:
+            h = pd.util.hash_array(ids.astype(np.int64, copy=False), categorize=False)
+        h = h % np.uint64(SAMPLE_MOD)
         if rate is not None:
             keep = h < np.uint64(int(rate * SAMPLE_MOD))
         else:

@@ -37,6 +37,34 @@ def test_deterministic_sample_is_stable_and_rate_accurate():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_deterministic_sample_md5_mode_matches_duckdb():
+    """hash_fn='md5' (the oracle mode) must reproduce DuckDB's
+    md5_number_lower(CAST(id AS VARCHAR)) % 1e6 < rate*1e6 decision exactly;
+    hash_fn='sip' (the scale default) must be vectorized-deterministic."""
+    import duckdb
+
+    df = pd.DataFrame({"doc_id": np.arange(5_000, dtype=np.int64)})
+    got = curation.deterministic_sample(
+        ray.data.from_pandas(df), rate=0.3, hash_fn="md5"
+    ).to_pandas()
+    want = duckdb.sql(
+        "SELECT doc_id FROM df "
+        "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 < 300000 "
+        "ORDER BY doc_id"
+    ).fetchdf()
+    assert sorted(got.doc_id.tolist()) == want.doc_id.tolist()
+
+    a = curation.deterministic_sample(
+        ray.data.from_pandas(df), rate=0.3, hash_fn="sip"
+    ).to_pandas()
+    b = curation.deterministic_sample(
+        ray.data.from_pandas(df), rate=0.3, hash_fn="sip"
+    ).to_pandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert abs(len(a) / len(df) - 0.3) < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_decontaminate_flags_and_drops():
     bench_texts = ["the quick brown fox jumps", "pack my box with jugs"]
     corpus = [
