@@ -733,7 +733,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    mode: str = "exact",
+    mode: str | None = None,
     n_list: int | None = None,
     n_assign: int = 2,
     train_sample: int = 65536,
@@ -742,12 +742,18 @@ def embedding_dup_pairs(
 ) -> pa.Table:
     """Pairs with cosine similarity >= threshold over a list<float> column.
 
-    - ``mode="exact"``: all-pairs, distributed — the normalized matrix is
-      built once and broadcast via ``ray.put`` (one object-store copy,
-      zero-copy numpy reads in workers); each map_batches task computes its
-      block x corpus matmul and emits only its above-threshold pairs. Exact
-      for ANY threshold, but all-pairs is inherently O(n^2) compute and the
-      broadcast is O(corpus) — the honest small/medium-corpus path.
+    ``mode=None`` auto-routes: true near-dup thresholds (>= 0.9) take the
+    IVF scale path; lower thresholds (where bucketing cannot be complete)
+    take exact all-pairs. Pass a mode explicitly to override.
+
+    - ``mode="exact"``: all-pairs, distributed — the corpus's pruned blocks
+      are materialized to the object store and the normalized matrix is
+      assembled INSIDE a worker task (the driver only ever holds
+      ObjectRefs; peak driver memory is O(pairs), not O(corpus)); each
+      map_batches task then reads the one broadcast copy zero-copy and
+      computes its block x corpus matmul, emitting only above-threshold
+      pairs. Exact for ANY threshold, but all-pairs is inherently O(n^2)
+      compute — the honest small/medium-corpus path.
     - ``mode="ivf"``: the scale path for true near-dup thresholds (>= ~0.9):
       spherical-k-means centroids from a bounded sample (similarity.py's
       trainer), each vector assigned to its ``n_assign`` nearest lists,
@@ -763,12 +769,17 @@ def embedding_dup_pairs(
 
     import ray as _ray
 
+    if mode is None:
+        mode = "ivf" if threshold >= 0.9 else "exact"
     sel = ds.select_columns([id_col, vec_col])
 
     if mode == "exact":
-        parts = list(sel.iter_batches(batch_size=100_000, batch_format="pyarrow"))
-        tbl = pa.concat_tables(parts) if parts else None
-        if tbl is None or tbl.num_rows == 0:
+        # materialize the pruned (id, vec) blocks into the object store;
+        # the driver keeps ObjectRefs only — the concat+normalize runs in a
+        # worker task and its result is the broadcast object
+        mat = sel.materialize()
+        block_refs = list(mat.to_arrow_refs())
+        if not block_refs or mat.count() == 0:
             return pa.table(
                 {
                     "vec_a": pa.array([], pa.int64()),
@@ -776,9 +787,17 @@ def embedding_dup_pairs(
                     "cos_r": pa.array([], pa.float64()),
                 }
             )
-        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        unit = _normalize(_to_matrix(tbl[vec_col]))
-        ref = _ray.put({"ids": ids, "unit": unit})
+
+        @_ray.remote
+        def assemble(*blocks: pa.Table) -> dict:
+            tbl = pa.concat_tables(blocks)
+            return {
+                "ids": tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                "unit": _normalize(_to_matrix(tbl[vec_col])),
+            }
+
+        ref = assemble.remote(*block_refs)
+        sel = mat
 
         def block_pairs(t: pa.Table) -> pa.Table:
             corpus = _ray.get(ref)  # zero-copy object-store read

@@ -218,6 +218,63 @@ def test_embedding_dup_ivf_recall_high_threshold(ray_session):
     assert got == want
 
 
+def _driver_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def test_embedding_dup_exact_does_not_materialize_corpus_on_driver(ray_session):
+    """Regression (VERDICT r2 #3): exact mode used to iter_batches->concat->
+    normalize->ray.put ON THE DRIVER — peak driver memory O(corpus). Now the
+    matrix is assembled inside a worker task and the driver holds ObjectRefs
+    only. Tall-thin corpus: ~128MB matrix but a cheap matmul; driver RSS may
+    grow by bookkeeping, not by the matrix."""
+    import gc
+
+    n, d = 3072, 6144  # 3072*6144*4B = 72MB float32 matrix
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(d).astype(np.float32) * 1e-3
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(base)}
+    )
+    ds = ray.data.from_pandas(df)
+    del df, base
+    gc.collect()
+    rss_before = _driver_rss_mb()
+    pairs = dedup.embedding_dup_pairs(ds, threshold=0.999, mode="exact").to_pandas()
+    gc.collect()
+    rss_growth = _driver_rss_mb() - rss_before
+    assert (7, 3) in set(zip(pairs.vec_b, pairs.vec_a)) or (3, 7) in set(
+        zip(pairs.vec_a, pairs.vec_b)
+    )
+    # the old driver-side path grew RSS by >= the 72MB matrix (plus the
+    # concat copy); worker-side assembly stays far below it
+    assert rss_growth < 48, f"driver RSS grew {rss_growth:.0f}MB (corpus matrix is 72MB)"
+
+
+def test_embedding_dup_auto_mode_routing(ray_session):
+    """mode=None routes >=0.9 thresholds to ivf (scale path), <0.9 to exact
+    — exact all-pairs at near-dup thresholds is an explicit opt-in."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((64, 16)).astype(np.float32)
+    base[1] = base[0] + rng.standard_normal(16).astype(np.float32) * 1e-3
+    df = pd.DataFrame(
+        {"vec_id": np.arange(64, dtype=np.int64), "embedding": list(base)}
+    )
+    hi = dedup.embedding_dup_pairs(
+        ray.data.from_pandas(df), threshold=0.99
+    ).to_pandas()
+    assert (0, 1) in set(zip(hi.vec_a, hi.vec_b))
+    lo = dedup.embedding_dup_pairs(
+        ray.data.from_pandas(df), threshold=0.4
+    ).to_pandas()
+    assert (0, 1) in set(zip(lo.vec_a, lo.vec_b))
+
+
 def test_dedup_paths_zero_match_inputs(ray_session):
     # Ray loses the schema of zero-row results (column-less frames on the
     # driver); every dedup entry point must survive empty and no-dup corpora
