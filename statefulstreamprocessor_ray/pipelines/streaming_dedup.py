@@ -193,20 +193,38 @@ class DedupShardActor:
         self.seen_hi = np.array([], np.uint64)
         self.ckpt = CheckpointStore(ckpt_dir)
 
-    def restore(self, last_committed_epoch: int) -> int:
+    def restore(
+        self, last_committed_epoch: int, committed_epochs: list[int] | None = None
+    ) -> int:
+        """Rebuild the seen-set from DELTA checkpoints: each epoch's file
+        holds only that epoch's NEW digests, so checkpoint I/O per epoch is
+        O(new rows), not O(total state) — streaming dedup is precisely the
+        job whose state never shrinks, and re-snapshotting the full set made
+        total checkpoint bytes O(epochs x corpus). Restore = concat of the
+        committed epochs' deltas in epoch order (the manifest orders them).
+        Returns the max restored epoch, or -1 when the delta set does not
+        exactly cover ``committed_epochs`` (the caller aborts the resume)."""
         self.seen_lo = np.array([], np.uint64)
         self.seen_hi = np.array([], np.uint64)
         if last_committed_epoch < 0:
             self.ckpt.prune_after(self.shard_id, -(2**62))
             return -1
-        found = self.ckpt.load_at_or_before(self.shard_id, last_committed_epoch)
+        found = [
+            e for e in self.ckpt.epochs(self.shard_id) if e <= last_committed_epoch
+        ]
         self.ckpt.prune_after(self.shard_id, last_committed_epoch)
-        if found is None:
+        if not found:
             return -1
-        epoch, snap = found
-        self.seen_lo = snap["seen_lo"]
-        self.seen_hi = snap["seen_hi"]
-        return epoch
+        if committed_epochs is not None and sorted(found) != sorted(committed_epochs):
+            return -1  # missing/extra deltas: state would diverge from output
+        lo_parts, hi_parts = [], []
+        for e in sorted(found):
+            snap = self.ckpt.load(self.shard_id, e)
+            lo_parts.append(snap["delta_lo"])
+            hi_parts.append(snap["delta_hi"])
+        self.seen_lo = np.concatenate(lo_parts)
+        self.seen_hi = np.concatenate(hi_parts)
+        return max(found)
 
     def process_epoch(self, epoch: int, epoch_dir: str | None, sink_dir: str) -> dict:
         sink = ExactlyOnceParquetSink(sink_dir)
@@ -233,8 +251,10 @@ class DedupShardActor:
             seen_df = pd.DataFrame({"lo": self.seen_lo, "hi": self.seen_hi})
             merged = df.merge(seen_df, on=["lo", "hi"], how="left", indicator=True)
             kept = merged[merged["_merge"] == "left_only"]
-            self.seen_lo = np.concatenate([self.seen_lo, kept["lo"].to_numpy(np.uint64)])
-            self.seen_hi = np.concatenate([self.seen_hi, kept["hi"].to_numpy(np.uint64)])
+            delta_lo = kept["lo"].to_numpy(np.uint64)
+            delta_hi = kept["hi"].to_numpy(np.uint64)
+            self.seen_lo = np.concatenate([self.seen_lo, delta_lo])
+            self.seen_hi = np.concatenate([self.seen_hi, delta_hi])
             out = pa.table(
                 {
                     self.id_col: pa.array(
@@ -247,9 +267,12 @@ class DedupShardActor:
             out = pa.table(
                 {self.id_col: pa.array([], pa.int64()), self.text_col: pa.array([], pa.string())}
             )
+            delta_lo = np.array([], np.uint64)
+            delta_hi = np.array([], np.uint64)
         part = sink.stage_part(epoch, f"shard{self.shard_id:04d}", out)
+        # delta checkpoint: this epoch's new digests only (see restore())
         self.ckpt.save(
-            self.shard_id, epoch, {"seen_lo": self.seen_lo, "seen_hi": self.seen_hi}
+            self.shard_id, epoch, {"delta_lo": delta_lo, "delta_hi": delta_hi}
         )
         part["shard"] = self.shard_id
         part["n_seen"] = int(len(self.seen_lo))
@@ -272,7 +295,7 @@ class StreamingDedupJob:
             DedupShardActor.remote(k, cfg_dict, self.ckpt_dir)
             for k in range(cfg.n_shards)
         ]
-        restore_refs = [s.restore.remote(last_committed) for s in shards]
+        restore_refs = [s.restore.remote(last_committed, committed) for s in shards]
 
         part_dir = partition_dedup_input(cfg)
         epochs = sorted(
