@@ -38,6 +38,12 @@ def main() -> None:
     s.add_argument("--lateness-s", type=float, default=0.0)
     s.add_argument("--epoch-by", choices=["ts", "arrival"], default="ts")
     s.add_argument("--max-epochs", type=int, default=None)
+    s.add_argument(
+        "--provenance",
+        action="store_true",
+        help="attach (src_file_idx, src_row) per input row and emit "
+        "r_/s_ provenance columns in the join output",
+    )
 
     w = sub.add_parser("windows")
     w.add_argument("--input", required=True, help="events parquet file or dir")
@@ -192,6 +198,7 @@ def main() -> None:
             delta_time=args.delta,
             allowed_lateness_s=args.lateness_s,
             epoch_by=args.epoch_by,
+            provenance=args.provenance,
         )
         stats = StreamingJoinJob(cfg).run(max_epochs=args.max_epochs)
         stats.pop("per_epoch", None)

@@ -92,6 +92,72 @@ class StreamingJoinConfig:
     # functions.ops.power_join_projection. Must be picklable (it ships to the
     # shard actors once, at construction).
     join_fn: object | None = None
+    # Row-level source provenance, the engine's analog of the reference's
+    # per-record Kafka topic/partition/offset metadata
+    # (ts_join_with_kafka_eos.py:151-156) and its conditional
+    # r.metadata/s.metadata join output (local_stream_buffer.py:383-389):
+    # when True, phase-0 attaches (src_file_idx:int32, src_row:int64) —
+    # index into the sorted input-file list + row index within the file —
+    # and the join output carries r_src_file_idx/r_src_row and
+    # s_src_file_idx/s_src_row, so any output pair maps back to its exact
+    # input rows for replay debugging. Opt-in (mirrors the reference's
+    # conditional metadata emission); adds two int columns to the shuffle.
+    provenance: bool = False
+
+
+PROVENANCE_COLS = ("src_file_idx", "src_row")
+
+
+def _effective_payload_cols(cfg: StreamingJoinConfig) -> list[str]:
+    cols = list(cfg.payload_cols)
+    if cfg.provenance:
+        cols += [c for c in PROVENANCE_COLS if c not in cols]
+    return cols
+
+
+def _provenance_read(files: list[str], file_idx_of: dict[str, int]):
+    """Read parquet files with exact per-row provenance: one read task per
+    row group (the same parallelism grain read_parquet uses), each attaching
+    src_file_idx (position in the sorted input-file list — the 'partition')
+    and src_row (row index within the file — the 'offset')."""
+    import ray.data
+
+    items = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        off = 0
+        for rg in range(md.num_row_groups):
+            items.append(
+                {
+                    "path": f,
+                    "file_idx": file_idx_of[f],
+                    "rg": rg,
+                    "row_start": off,
+                }
+            )
+            off += md.row_group(rg).num_rows
+
+    def read_rg(batch: pd.DataFrame) -> pa.Table:
+        parts = []
+        for _, it in batch.iterrows():
+            t = pq.ParquetFile(it["path"]).read_row_group(int(it["rg"]))
+            n = t.num_rows
+            t = t.append_column(
+                "src_file_idx",
+                pa.array(np.full(n, it["file_idx"], np.int32), pa.int32()),
+            )
+            t = t.append_column(
+                "src_row",
+                pa.array(
+                    int(it["row_start"]) + np.arange(n, dtype=np.int64), pa.int64()
+                ),
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return ray.data.from_items(items).map_batches(
+        read_rg, batch_size=1, batch_format="pandas"
+    )
 
 
 def partition_input(cfg: StreamingJoinConfig) -> str:
@@ -116,7 +182,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
             and done.get("epoch_by", "ts") == cfg.epoch_by
             and done.get("columns") == sorted(
                 {cfg.spec.key_col, cfg.spec.ts_col, cfg.spec.tie_col, "stream_side",
-                 *cfg.payload_cols}
+                 *_effective_payload_cols(cfg)}
             )
         )
         if layout_ok and done["fingerprint"] == fingerprint:
@@ -142,9 +208,23 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
     # written to — and re-read from — every (shard, epoch) partition
     keep_cols = list(
         dict.fromkeys(
-            [spec.key_col, spec.ts_col, spec.tie_col, "stream_side", *cfg.payload_cols]
+            [
+                spec.key_col,
+                spec.ts_col,
+                spec.tie_col,
+                "stream_side",
+                *_effective_payload_cols(cfg),
+            ]
         )
     )
+    file_idx_of = {f: i for i, f in enumerate(files)}
+
+    def read_files(group: list[str], n_blocks: int | None = None):
+        if cfg.provenance:
+            return _provenance_read(group, file_idx_of)
+        if n_blocks is not None:
+            return ray.data.read_parquet(group, override_num_blocks=n_blocks)
+        return ray.data.read_parquet(group)
 
     def tag_and_partition(batch: pa.Table, fixed_epoch: int | None = None) -> pa.Table:
         tagged = tag_streams_batch(batch, spec).select(keep_cols)
@@ -181,7 +261,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
         n_groups = (len(new_files) + fpe - 1) // fpe
         for g in range(n_groups):
             group = new_files[g * fpe : (g + 1) * fpe]
-            ds = ray.data.read_parquet(group).map_batches(
+            ds = read_files(group).map_batches(
                 lambda b, fe=next_epoch + g: tag_and_partition(b, fe),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -217,7 +297,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
         # one epoch per input-file group, in arrival order
         for e in range(0, (len(files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch):
             group = files[e * cfg.files_per_epoch : (e + 1) * cfg.files_per_epoch]
-            ds = ray.data.read_parquet(group).map_batches(
+            ds = read_files(group).map_batches(
                 lambda b, fe=e: tag_and_partition(b, fe),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -234,7 +314,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
             n_blocks = 64
         # bounded block count: each block's writer opens one file per touched
         # (shard, epoch) hive dir, so blocks x partitions drives write cost
-        ds = ray.data.read_parquet(files, override_num_blocks=n_blocks)
+        ds = read_files(files, n_blocks=n_blocks)
         ds = ds.map_batches(
             tag_and_partition, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -567,7 +647,11 @@ class JoinShardActor:
             )
         # no schema seen yet: pin the transcript defaults
         def ptype(col):
-            return pa.int32() if col == self.tie_col else pa.string()
+            if col == self.tie_col or col == "src_file_idx":
+                return pa.int32()
+            if col == "src_row":
+                return pa.int64()
+            return pa.string()
 
         cols = {
             self.key_col: pa.array([], pa.string()),
@@ -598,7 +682,7 @@ class StreamingJoinJob:
             "key_col": cfg.spec.key_col,
             "ts_col": cfg.spec.ts_col,
             "tie_col": cfg.spec.tie_col,
-            "payload_cols": cfg.payload_cols,
+            "payload_cols": _effective_payload_cols(cfg),
             "delta_us": int(cfg.delta_time * US) if cfg.delta_time else None,
             "max_carry_rows": cfg.max_carry_rows_per_shard,
             "join_fn": cfg.join_fn,
