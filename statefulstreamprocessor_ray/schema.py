@@ -106,7 +106,11 @@ def normalize_iso_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     OVERRIDES whatever offset the string carried and reads the wall-clock
     fields as UTC — so we strip the offset suffix and parse naive.
     Unparseable strings become null (the reference raises; null is this
-    engine's documented column-oriented divergence)."""
+    engine's documented column-oriented divergence). Valid ISO strings
+    OUTSIDE pandas' ns-datetime range (years <1677 / >2262) fall back to
+    a per-row ``datetime.fromisoformat`` pass — only the rows the
+    vectorized parser coerced to NaT pay it — matching the reference's
+    fromisoformat path instead of silently nulling them."""
     import pandas as pd
 
     if isinstance(arr, pa.ChunkedArray):
@@ -123,6 +127,21 @@ def normalize_iso_to_seconds(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     # differently in float64 (…1230001 vs …123)
     us = ts.astype("int64").to_numpy() // 1000
     secs = us.astype(np.float64) / 1e6
+    if mask.any():
+        # rescue valid-but-out-of-ns-range rows (rare: only NaT rows loop)
+        from datetime import datetime, timezone
+
+        idx = np.nonzero(mask)[0]
+        failed = stripped.take(pa.array(idx, pa.int64())).to_pylist()
+        for pos, s in zip(idx, failed):
+            if s is None:
+                continue
+            try:
+                dt = datetime.fromisoformat(s)
+            except ValueError:
+                continue
+            secs[pos] = dt.replace(tzinfo=timezone.utc).timestamp()
+            mask[pos] = False
     return pa.array(np.where(mask, np.nan, secs), pa.float64(), mask=mask)
 
 

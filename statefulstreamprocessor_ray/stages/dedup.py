@@ -27,8 +27,11 @@ band bucket). Because each bucket fully contains its keys, the in-bucket
 group IS the key's global doc set, so the cap is exact global-``max_df``
 semantics at zero extra shuffle cost. Skipped keys are counted and surfaced
 in the result table's schema metadata (``hot_keys_skipped``) — capping is the
-standard quadratic-blowup guard for shingle blocking at corpus scale, at the
-cost of (documented) recall on pairs whose only shared shingles are hot.
+standard quadratic-blowup guard for shingle blocking at corpus scale. Cost:
+a pair whose ONLY shared shingles are hot is never emitted (lost recall),
+and a pair sharing both hot and non-hot shingles has its shared-shingle
+count ``inter`` undercounted (hot shingles don't contribute), biasing its
+reported Jaccard downward — possibly below threshold.
 """
 
 from __future__ import annotations
@@ -141,9 +144,10 @@ def _bucket_pairs(
     ``carry`` columns are per-doc values replicated onto both pair sides
     (``<c>_a`` / ``<c>_b``) — e.g. shingle counts for Jaccard, simhash codes
     for Hamming — so verification needs no second corpus pass.
-    ``max_df`` skips keys matching more than that many docs (see module doc);
-    each skipped key emits one sentinel row with ``doc_a == -1`` and
-    ``inter = group size`` for the caller to count."""
+    ``max_df`` skips keys matching more than that many docs (see module doc
+    for the recall/bias cost); each skipped key emits ONE sentinel row with
+    ``doc_a == doc_b == -1`` and ``inter = 1``, so summing sentinel ``inter``
+    counts skipped keys (``_split_hot_markers``)."""
     if n_buckets is None:
         try:
             import ray as _ray

@@ -51,6 +51,18 @@ def test_iso_offset_is_overridden_not_converted():
     assert vals[0] == vals[1] == _reference_extract_time("2021-04-23T10:00:00.123")
 
 
+def test_iso_outside_ns_range_rescued():
+    # pandas ns datetimes cover ~1677-2262; the reference's fromisoformat
+    # path succeeds far outside that — the per-row fallback must match it
+    cases = ["1500-01-01T00:00:00", "2500-06-15T12:34:56.5", "0001-01-01"]
+    got = normalize_iso_to_seconds(
+        pa.array(cases + ["2021-04-23T10:00:00", "still-not-a-time"])
+    ).to_pylist()
+    assert got[:3] == [_reference_extract_time(s) for s in cases]
+    assert got[3] == _reference_extract_time("2021-04-23T10:00:00")
+    assert got[4] is None
+
+
 def test_iso_invalid_becomes_null():
     out = normalize_iso_to_seconds(pa.array(["not-a-time", None, "2021-04-23T10:00:00"]))
     assert out[0].as_py() is None
