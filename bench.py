@@ -197,6 +197,16 @@ def bench_cep(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def bench_corpus_build(sf_dir: str) -> dict:
+    """Composed corpus-build pipeline: scrub -> quality filter -> exact +
+    Jaccard dedup -> decontaminate -> sample -> chunk, one run."""
+    from statefulstreamprocessor_ray.pipelines.queries import q_corpus_build
+
+    t0 = time.time()
+    n = q_corpus_build(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
 def bench_streaming_windows(sf_dir: str) -> dict:
     """Full streaming session-window job (epochs + watermark gating + EOS
     manifests) over the events table."""
@@ -255,6 +265,7 @@ def run_bench() -> dict:
         "cep_funnel": lambda: bench_cep(SF_DIR),
         "decontaminate": lambda: bench_decontaminate(SF_DIR),
         "relational_join": lambda: bench_join_relational(SF_DIR),
+        "corpus_build": lambda: bench_corpus_build(SF_DIR),
         "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
     }
     results = {}

@@ -78,6 +78,25 @@ def main() -> None:
     cp.add_argument("--tie-col", default="event_id")
     cp.add_argument("--max-epochs", type=int, default=None)
 
+    cb = sub.add_parser("corpus")
+    cb.add_argument("--input", required=True, help="documents parquet file or dir")
+    cb.add_argument("--bench-input", default=None,
+                    help="eval-set parquet (docs sharing a decon n-gram are dropped)")
+    cb.add_argument("--out", required=True)
+    cb.add_argument("--work", default=None,
+                    help="checkpoint dir: materialize the filtered corpus once "
+                    "instead of recomputing it per dedup pass")
+    cb.add_argument("--min-tokens", type=int, default=20)
+    cb.add_argument("--max-top-frac", type=float, default=0.125)
+    cb.add_argument("--jaccard", type=float, default=0.5)
+    cb.add_argument("--k", type=int, default=3)
+    cb.add_argument("--decon-k", type=int, default=8)
+    cb.add_argument("--sample-rate", type=float, default=None)
+    cb.add_argument("--chunk-tokens", type=int, default=512)
+    cb.add_argument("--overlap", type=int, default=64)
+    cb.add_argument("--id-col", default="doc_id")
+    cb.add_argument("--text-col", default="text")
+
     dd = sub.add_parser("dedup")
     dd.add_argument("--input", required=True, help="documents parquet dir")
     dd.add_argument("--work", required=True)
@@ -88,7 +107,7 @@ def main() -> None:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w, cp, dd):
+    for p in (b, s, w, cp, dd, cb):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -159,6 +178,29 @@ def main() -> None:
         )
         stats = StreamingDedupJob(dcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "dedup", **stats}))
+    elif args.mode == "corpus":
+        import ray.data
+
+        from statefulstreamprocessor_ray.pipelines.corpus import corpus_build
+
+        chunks = corpus_build(
+            ray.data.read_parquet(args.input),
+            ray.data.read_parquet(args.bench_input) if args.bench_input else None,
+            min_tokens=args.min_tokens,
+            max_top_frac=args.max_top_frac,
+            jaccard_threshold=args.jaccard,
+            k=args.k,
+            decon_k=args.decon_k,
+            rate=args.sample_rate,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.overlap,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            checkpoint_dir=args.work,
+        )
+        chunks.write_parquet(args.out)
+        n = ray.data.read_parquet(args.out).count()
+        print(json.dumps({"mode": "corpus", "chunks_written": n, "out": args.out}))
     elif args.mode == "windows":
         from statefulstreamprocessor_ray.pipelines.streaming_windows import (
             StreamingWindowConfig,

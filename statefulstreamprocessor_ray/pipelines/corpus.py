@@ -1,0 +1,134 @@
+"""End-to-end training-corpus build: the composition a real user of the
+curation/dedup operators actually runs, as ONE pipeline —
+
+    read -> PII/URL scrub -> quality filter (Gopher repetition signals)
+         -> exact + n-gram-Jaccard dedup (cluster + apply)
+         -> benchmark decontamination (drop) -> deterministic sample
+         -> overlapping chunking
+
+Per-operator oracles can't see composition seams (schema drift, column
+loss, order dependencies between stages); this entry runs the seams. The
+reference has no pendant — it is the LLM-data extension of its
+consume->transform->produce job shape (``ts_join_with_kafka_eos.py``).
+
+Scale shape: every stage is the operator's own scale path — scrub /
+stats / filter / decontaminate / sample / chunk are shuffle-free
+map_batches; the two dedup passes are the only exchanges and both ship
+(hash, id) or (shingle-hash, id) pairs, never documents; the cluster map
+and drop sets are O(duplicates) driver-side and broadcast back via
+``ray.put``. The filtered corpus feeds three consumers (two pair passes +
+the apply); pass ``checkpoint_dir`` to materialize it ONCE as partitioned
+Parquet instead of recomputing the scrub+filter lineage per consumer —
+at 100-TB scale the checkpoint is also the resume point.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from statefulstreamprocessor_ray.stages import dedup
+from statefulstreamprocessor_ray.stages.curation import (
+    chunk_documents,
+    decontaminate,
+    deterministic_sample,
+    repetition_stats,
+    scrub_text,
+)
+
+
+def corpus_build(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset | None = None,
+    *,
+    min_tokens: int = 20,
+    max_top_frac: float = 0.125,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+    decon_k: int = 8,
+    rate: float | None = None,
+    rates_by: dict | None = None,
+    stratum_col: str | None = None,
+    sample_hash_fn: str = "sip",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    carry_cols: tuple = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Build a training corpus from raw documents; returns the chunk set
+    ``(id, carry_cols..., chunk_idx, chunk_text, n_tokens)``.
+
+    ``bench`` (optional) is the held-out eval set: it is scrubbed with the
+    same patterns, its ``decon_k``-gram shingles are broadcast once, and
+    any corpus doc sharing one is DROPPED. ``decon_k`` is deliberately
+    LONGER than the dedup shingle ``k``: an overlapping long n-gram means
+    real eval leakage, while short trigrams are shared by unrelated text
+    and would gut the corpus. Sampling runs iff ``rate`` or
+    ``rates_by`` is given; ``sample_hash_fn="md5"`` is the SQL-oracle mode
+    (see ``deterministic_sample``). Dedup keeps each duplicate cluster's
+    min-id representative; exact-text edges are found by a 128-bit-hash
+    exchange and near-dup edges by exact n-gram Jaccard — exact edges are
+    subsumed by Jaccard-1.0 pairs, so they change no result, only cost:
+    the hash pass is the cheap first cut at scale."""
+    s = scrub_text(docs, text_col=text_col, id_col=id_col, keep_cols=carry_cols)
+    r = repetition_stats(
+        s, text_col=text_col, id_col=id_col, keep_cols=(text_col, *carry_cols)
+    )
+    out_cols = [id_col, *carry_cols, text_col]
+
+    def quality(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["n_tokens"], min_tokens),
+            pc.less_equal(t["top_token_frac"], max_top_frac),
+        )
+        return t.filter(keep).select(out_cols)
+
+    kept = r.map_batches(quality, batch_format="pyarrow", zero_copy_batch=True)
+
+    if checkpoint_dir is not None:
+        kept.write_parquet(checkpoint_dir)
+        kept = ray.data.read_parquet(checkpoint_dir)
+
+    exact_edges = dedup.exact_dup_pairs(kept, text_col=text_col, id_col=id_col)
+    near_edges = dedup.ngram_jaccard_pairs(
+        kept, threshold=jaccard_threshold, k=k, text_col=text_col, id_col=id_col
+    ).select(["doc_a", "doc_b"])
+    clusters = dedup.cluster_duplicates(
+        pa.concat_tables([exact_edges, near_edges])
+    )
+    unique = dedup.apply_dedup(kept, clusters, id_col=id_col)
+
+    if bench is not None:
+        bench_s = scrub_text(bench, text_col=text_col, id_col=id_col)
+        unique = decontaminate(
+            unique,
+            bench_s,
+            k=decon_k,
+            text_col=text_col,
+            id_col=id_col,
+            keep_cols=(text_col, *carry_cols),
+            mode="drop",
+        )
+
+    if rate is not None or rates_by is not None:
+        unique = deterministic_sample(
+            unique,
+            rate=rate,
+            rates_by=rates_by,
+            stratum_col=stratum_col,
+            id_col=id_col,
+            hash_fn=sample_hash_fn,
+        )
+
+    return chunk_documents(
+        unique,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        text_col=text_col,
+        id_col=id_col,
+        keep_cols=carry_cols,
+    )

@@ -578,6 +578,40 @@ def q_decontaminate(sf_dir):
     )
 
 
+def q_corpus_build(sf_dir):
+    """Composed corpus-build pipeline (pipelines/corpus.py): scrub ->
+    quality filter -> exact+Jaccard dedup apply -> decontaminate (src0 =
+    eval set, dropped) -> md5 deterministic sample -> chunk. One entry runs
+    every composition seam the per-operator oracles can't see; the oracle
+    chains the per-op SQL as CTEs."""
+    from statefulstreamprocessor_ray.pipelines.corpus import corpus_build
+
+    docs = _documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
+
+    def split(keep_bench):
+        def fn(t):
+            mask = pc.equal(t["source"], "src0")
+            return t.filter(mask if keep_bench else pc.invert(mask))
+
+        return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    return corpus_build(
+        split(False),
+        split(True),
+        min_tokens=20,
+        max_top_frac=0.125,
+        jaccard_threshold=0.5,
+        k=3,
+        decon_k=5,
+        rates_by={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25},
+        stratum_col="lang",
+        sample_hash_fn="md5",  # oracle mode; "sip" is the scale default
+        chunk_tokens=40,
+        overlap=8,
+        carry_cols=("lang", "source"),
+    )
+
+
 def q_ngram_jaccard(sf_dir):
     return dedup.ngram_jaccard_pairs(
         _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.5, k=3
@@ -828,6 +862,7 @@ QUERIES = {
     "flagship_transcripts": q_flagship_transcripts,
     "session_join": q_session_join,
     "dedup_apply": q_dedup_apply,
+    "corpus_build": q_corpus_build,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
@@ -1684,6 +1719,109 @@ SELECT doc_id,
        n_email,
        CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url
 FROM s1
+"""
+
+# corpus_build: the per-op oracles chained as CTEs in pipeline order —
+# scrub (email then url), lowered-token quality stats (n>=20, top frac
+# <= 0.125, exact double division), shingle-join Jaccard >= 0.5 pairs +
+# recursive-CTE connected components keeping min-id reps (exact-text dup
+# edges are Jaccard-1.0 pairs, so the SQL needs only the Jaccard edges),
+# src0-eval 5-gram-overlap drop (decon_k=5 > dedup k=3), md5 per-lang
+# Bernoulli sample, 40/8
+# overlapping chunks over the NON-lowered scrubbed text
+ORACLE_SQL["corpus_build"] = """
+WITH RECURSIVE s1 AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(coalesce(text,''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t0
+  FROM documents
+), s2 AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t
+  FROM s1
+), tok AS (
+  SELECT doc_id, lang, source, t,
+         list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws
+  FROM s2
+), corp AS (SELECT * FROM tok WHERE source <> 'src0'),
+cnt AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM corp) GROUP BY 1, 2
+), qstat AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top FROM cnt GROUP BY 1
+), kept AS (
+  SELECT corp.* FROM corp JOIN qstat USING (doc_id)
+  WHERE qstat.n_tokens >= 20
+    AND CAST(qstat.top AS DOUBLE) / qstat.n_tokens <= 0.125
+), shing AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-1), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+      END) AS g
+    FROM kept WHERE len(ws) > 0
+  )
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+dup AS (
+  SELECT doc_a, doc_b FROM p
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION SELECT doc_b, doc_a FROM dup),
+labels(doc, lab) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.u, l.lab FROM edges e JOIN labels l ON l.doc = e.v
+),
+rep AS (SELECT doc, min(lab) AS rep FROM labels GROUP BY doc),
+uniq AS (
+  SELECT k.* FROM kept k JOIN rep ON rep.doc = k.doc_id WHERE rep.rep = k.doc_id
+),
+shing5 AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-3), i -> array_to_string(ws[i:i+4], ' '))
+      END) AS g
+    FROM kept WHERE len(ws) > 0
+  )
+),
+bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(
+      CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+           ELSE list_transform(range(1, len(ws)-3), i -> array_to_string(ws[i:i+4], ' '))
+      END) AS g
+    FROM tok WHERE source = 'src0' AND len(ws) > 0
+  )
+),
+contam AS (SELECT DISTINCT s.doc_id FROM shing5 s JOIN bench b ON s.g = b.g),
+clean AS (
+  SELECT u.* FROM uniq u WHERE u.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+samp AS (
+  SELECT * FROM clean
+  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 <
+        CASE lang WHEN 'en' THEN 500000 ELSE 250000 END
+),
+raw AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS rws
+  FROM samp
+), ch AS (
+  SELECT doc_id, len(rws) AS n, CAST(u.i AS BIGINT) AS start
+  FROM raw, unnest(range(0, len(rws), 32)) AS u(i)
+  WHERE len(rws) > 0 AND (u.i = 0 OR u.i + 8 < len(rws))
+)
+SELECT r.doc_id, r.lang, r.source,
+       CAST(ch.start / 32 AS BIGINT) AS chunk_idx,
+       array_to_string(r.rws[ch.start + 1 : ch.start + 40], ' ') AS chunk_text,
+       CAST(least(ch.n - ch.start, 40) AS BIGINT) AS n_tokens
+FROM ch JOIN raw r USING (doc_id)
 """
 
 # repetition_stats: same tokenization as the shingle oracles; top-token

@@ -154,6 +154,7 @@ def chunk_documents(
     overlap: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Split documents into overlapping whitespace-token windows — the
     context-window preparation step of a training pipeline. 1->N explode in
@@ -181,14 +182,13 @@ def chunk_documents(
         n_chunks = np.where(n_toks > 0, 1 + extra, 0)
         total_chunks = int(n_chunks.sum())
         if total_chunks == 0:
-            return pd.DataFrame(
-                {
-                    id_col: np.array([], np.int64),
-                    "chunk_idx": np.array([], np.int64),
-                    "chunk_text": pd.Series([], dtype="object"),
-                    "n_tokens": np.array([], np.int64),
-                }
-            )
+            empty = {id_col: np.array([], np.int64)}
+            for c in keep_cols:
+                empty[c] = batch[c].iloc[:0].to_numpy()
+            empty["chunk_idx"] = np.array([], np.int64)
+            empty["chunk_text"] = pd.Series([], dtype="object")
+            empty["n_tokens"] = np.array([], np.int64)
+            return pd.DataFrame(empty)
         doc_of_chunk = np.repeat(np.arange(n_docs), n_chunks)
         first_chunk = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
         chunk_idx = np.arange(total_chunks) - first_chunk[doc_of_chunk]
@@ -212,14 +212,13 @@ def chunk_documents(
             pa.array(flat[gather], pa.string()),
         )
         chunk_text = pc.binary_join(la, " ")
-        return pd.DataFrame(
-            {
-                id_col: np.asarray(batch[id_col], np.int64)[doc_of_chunk],
-                "chunk_idx": chunk_idx.astype(np.int64),
-                "chunk_text": chunk_text.to_pandas().astype(object),
-                "n_tokens": tok_len.astype(np.int64),
-            }
-        )
+        out = {id_col: np.asarray(batch[id_col], np.int64)[doc_of_chunk]}
+        for c in keep_cols:
+            out[c] = batch[c].to_numpy()[doc_of_chunk]
+        out["chunk_idx"] = chunk_idx.astype(np.int64)
+        out["chunk_text"] = chunk_text.to_pandas().astype(object)
+        out["n_tokens"] = tok_len.astype(np.int64)
+        return pd.DataFrame(out)
 
     return ds.map_batches(fn, batch_format="pandas")
 
@@ -337,12 +336,14 @@ def scrub_text(
     patterns: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """PII/URL scrubbing: replace each pattern with ``<NAME>`` tokens and
     count per-pattern hits — the standard pre-training text hygiene pass.
     Regexes compile once per ACTOR (the canonical stateful-stage shape);
     per batch it is one vectorized pandas str.count/str.replace per pattern.
-    Output: (id, text, n_<name>... ) with text scrubbed in pattern order."""
+    Output: (id, keep_cols..., text, n_<name>...) with text scrubbed in
+    pattern order."""
     pats = patterns or SCRUB_PATTERNS
 
     class Scrubber:
@@ -354,6 +355,8 @@ def scrub_text(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             s = batch[text_col].fillna("")
             out = {id_col: np.asarray(batch[id_col], np.int64)}
+            for c in keep_cols:
+                out[c] = batch[c].to_numpy()
             counts = {}
             for name, rx in self.compiled.items():
                 counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
@@ -369,6 +372,7 @@ def repetition_stats(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Gopher-style repetition signals per doc: token count, distinct-token
     count, and the most-frequent-token fraction (high values flag boilerplate
@@ -405,13 +409,12 @@ def repetition_stats(
             )
         # exact int/int double division matches DuckDB bit-for-bit
         top_frac = np.where(counts > 0, top / np.maximum(counts, 1), 0.0)
-        return pd.DataFrame(
-            {
-                id_col: np.asarray(batch[id_col], np.int64),
-                "n_tokens": counts,
-                "n_distinct": n_dis,
-                "top_token_frac": top_frac.astype(np.float64),
-            }
-        )
+        out = {id_col: np.asarray(batch[id_col], np.int64)}
+        for c in keep_cols:
+            out[c] = batch[c].to_numpy()
+        out["n_tokens"] = counts
+        out["n_distinct"] = n_dis
+        out["top_token_frac"] = top_frac.astype(np.float64)
+        return pd.DataFrame(out)
 
     return ds.map_batches(fn, batch_format="pandas")

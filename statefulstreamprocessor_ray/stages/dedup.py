@@ -57,6 +57,88 @@ def exact_dedup(
     return out
 
 
+def exact_dup_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Exact-duplicate STAR edges ``(doc_a = keeper = min id, doc_b =
+    dropped dup)`` — the scale shape of exact dedup when the output feeds a
+    cluster/apply step (``cluster_duplicates`` + ``apply_dedup``).
+
+    Only ``(hash128, id)`` rows ever leave a batch — never document text.
+    Content identity is two independent vectorized SipHash calls
+    (``pd.util.hash_array`` with distinct keys, 128 bits total: birthday
+    collisions stay negligible at 100-TB corpus cardinalities, same policy
+    as streaming dedup's 128-bit digests). The exchange groups by a coarse
+    ``mix(h_lo) % n_buckets`` bucket (each bucket fully contains its
+    hashes, see ``_bucket_pairs``); workers sort each bucket by (hash, id)
+    once and emit one edge per NON-first member — a group of m identical
+    texts costs m-1 edges, not m(m-1)/2 pairs — so the driver-side result
+    is O(duplicates)."""
+    if n_buckets is None:
+        try:
+            import ray as _ray
+
+            n_buckets = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8)
+        except Exception:
+            n_buckets = 64
+
+    def hash_ids(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").to_numpy(dtype=object)
+        lo = pd.util.hash_array(texts, hash_key="0123456789123456", categorize=False)
+        hi = pd.util.hash_array(texts, hash_key="6543210987654321", categorize=False)
+        m = (lo ^ (lo >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        m = (m ^ (m >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        m = m ^ (m >> np.uint64(31))
+        return pd.DataFrame(
+            {
+                "h_lo": lo,
+                "h_hi": hi,
+                id_col: df[id_col].to_numpy(np.int64),
+                "bucket": (m % np.uint64(n_buckets)).astype(np.int32),
+            }
+        )
+
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g["h_lo"].to_numpy(np.uint64)
+        hi = g["h_hi"].to_numpy(np.uint64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, hi, lo))
+        lo, hi, ids = lo[order], hi[order], ids[order]
+        new = np.empty(len(lo), bool)
+        if len(lo):
+            new[0] = True
+            new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        dup = ~new
+        if not dup.any():
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        grp = np.cumsum(new) - 1
+        first = ids[np.nonzero(new)[0]]
+        return pd.DataFrame({"doc_a": first[grp[dup]], "doc_b": ids[dup]})
+
+    edges = (
+        ds.map_batches(hash_ids, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(star_edges, batch_format="pandas")
+        .to_pandas()
+    )
+    if edges.empty:
+        edges = pd.DataFrame(
+            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+        )
+    edges = edges.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(edges["doc_a"].to_numpy(np.int64), pa.int64()),
+            "doc_b": pa.array(edges["doc_b"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def _word_shingles(text: str, k: int) -> set[str]:
     toks = [t for t in text.lower().split() if t]
     if len(toks) < k:
