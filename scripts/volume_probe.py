@@ -1,0 +1,242 @@
+#!/usr/bin/env python3
+"""Round-3 volume evidence (VERDICT r2 #9): drive tens of GiB through the
+two headline 100-TB claims — the exactly-once streaming join over fat
+(~1 KiB) text payloads, and MinHash-LSH near-dup over fat documents — and
+record wall time, phase split, object-store spill, and driver peak RSS.
+
+A literal 100 GB input cannot fit this sandbox: 79 GB free disk must hold
+input + the phase-0 partitioned copy + the join output (~3.5x input for
+the streaming job). The probe therefore runs the largest honest sizes
+(defaults: 12 GiB transcripts, 20 GiB documents), cleans up between
+jobs, and reports per-GiB rates for extrapolation against the existing
+1-GiB fat-text and 40M-turn points in BASELINE.md.
+
+Corpora are generated as a PARALLEL Ray Data pipeline (range over conv /
+doc ids -> vectorized per-batch synthesis -> streamed parquet write), so
+generation itself never materializes: the same shape a real cluster would
+use to stage test data. Texts are random A-Z with a space every 9th char
+(tokenizable, but incompressible enough that on-disk GiB ~ in-memory GiB);
+every 100th document clones its predecessor with a mutated tail so the
+near-dup path has real work.
+
+Usage:
+  python scripts/volume_probe.py streaming [gib]   # default 12
+  python scripts/volume_probe.py minhash  [gib]    # default 20
+"""
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BASE_EPOCH_S = 1_600_000_000.0
+TURNS_PER_CONV = 60
+TEXT_BYTES = 1024
+
+
+def _rand_texts(rng, n: int) -> pa.Array:
+    chars = rng.integers(65, 91, size=(n, TEXT_BYTES), dtype=np.uint8)
+    chars[:, 8::9] = 32  # word boundary every 9th char
+    return pa.array(chars.view(f"S{TEXT_BYTES}").ravel()).cast(pa.string())
+
+
+def gen_transcripts(path: str, gib: float) -> int:
+    import ray.data
+
+    n_convs = int(gib * 2**30 / TEXT_BYTES / TURNS_PER_CONV)
+
+    def make(batch: pd.DataFrame) -> pa.Table:
+        convs = batch["id"].to_numpy(np.int64)
+        rng = np.random.default_rng(int(convs[0]) * 7 + 13)
+        nc = len(convs)
+        n = nc * TURNS_PER_CONV
+        conv = np.repeat(convs, TURNS_PER_CONV)
+        turn = np.tile(np.arange(TURNS_PER_CONV, dtype=np.int32), nc)
+        u = rng.random(n)
+        role_code = np.where(u < 0.45, 1, np.where(u < 0.70, 2, 0))
+        gaps = 0.05 + 2.0 * rng.random(n)
+        cum = np.cumsum(gaps)
+        conv_starts = np.concatenate(
+            ([0.0], cum[TURNS_PER_CONV - 1 :: TURNS_PER_CONV][:-1])
+        )
+        ts_s = BASE_EPOCH_S + cum - np.repeat(conv_starts, TURNS_PER_CONV)
+        ts_s = ts_s + np.repeat(rng.random(nc) * 1000.0, TURNS_PER_CONV)
+        tools = np.where(role_code == 2, "toolcall", None)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    np.char.add("conv", np.char.zfill(conv.astype(str), 10)),
+                    pa.string(),
+                ),
+                "turn_idx": pa.array(turn, pa.int32()),
+                "role": pa.array(
+                    np.array(["user", "assistant", "tool"])[role_code], pa.string()
+                ),
+                "text": _rand_texts(rng, n),
+                "tool": pa.array(tools.tolist(), pa.string()),
+                "ts": pa.array((ts_s * 1e6).astype(np.int64), pa.timestamp("us")),
+            }
+        )
+
+    ray.data.range(n_convs).map_batches(
+        make, batch_size=512, batch_format="pandas"
+    ).write_parquet(path)
+    return n_convs * TURNS_PER_CONV
+
+
+def gen_docs(path: str, gib: float) -> int:
+    import ray.data
+
+    n_docs = int(gib * 2**30 / TEXT_BYTES)
+
+    def make(batch: pd.DataFrame) -> pa.Table:
+        ids = batch["id"].to_numpy(np.int64)
+        rng = np.random.default_rng(int(ids[0]) * 11 + 29)
+        chars = rng.integers(65, 91, size=(len(ids), TEXT_BYTES), dtype=np.uint8)
+        chars[:, 8::9] = 32
+        # near-dups: every 100th doc clones its predecessor, tail mutated
+        # (~0.9 Jaccard) — pairs stay intra-batch so generation is parallel
+        clones = np.nonzero((ids % 100 == 1) & (np.arange(len(ids)) > 0))[0]
+        chars[clones] = chars[clones - 1]
+        chars[clones, -90:] = rng.integers(
+            65, 91, size=(len(clones), 90), dtype=np.uint8
+        )
+        chars[clones, 8::9] = 32
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(chars.view(f"S{TEXT_BYTES}").ravel()).cast(
+                    pa.string()
+                ),
+            }
+        )
+
+    ray.data.range(n_docs).map_batches(
+        make, batch_size=4096, batch_format="pandas"
+    ).write_parquet(path)
+    return n_docs
+
+
+def _dir_gib(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total / 2**30
+
+
+def _driver_peak_rss_gib() -> float:
+    with open("/proc/self/status") as f:
+        m = re.search(r"VmHWM:\s+(\d+) kB", f.read())
+    return int(m.group(1)) / 2**20 if m else -1.0
+
+
+def _spill_mib() -> int:
+    """Bytes in the session's object-spill dir (memory_summary needs grpc,
+    absent here). Cumulative over the session — fine for a one-job probe."""
+    import glob
+
+    try:
+        import ray
+
+        session = ray._private.worker.global_worker.node.get_session_dir_path()
+        total = 0
+        for d in glob.glob(os.path.join(session, "*spill*")):
+            for root, _, files in os.walk(d):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total // 2**20
+    except Exception:
+        return -1
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    gib = float(sys.argv[2]) if len(sys.argv) > 2 else (12.0 if mode == "streaming" else 20.0)
+
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    base = f"/tmp/ssp_volume_{mode}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    out: dict = {"mode": mode, "target_gib": gib, "num_cpus": 32}
+    try:
+        t0 = time.time()
+        if mode == "streaming":
+            rows = gen_transcripts(f"{base}/input", gib)
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = rows
+
+            from statefulstreamprocessor_ray.pipelines.streaming import (
+                StreamingJoinConfig,
+                StreamingJoinJob,
+            )
+
+            cfg = StreamingJoinConfig(
+                input_path=f"{base}/input",
+                work_dir=f"{base}/work",
+                out_dir=f"{base}/out",
+                n_shards=32,
+                epoch_duration_s=480.0,
+                delta_time=5.0,
+            )
+            t1 = time.time()
+            stats = StreamingJoinJob(cfg).run()
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                phase0_sec=round(stats.get("phase0_sec", 0.0), 1),
+                epoch_loop_sec=round(stats.get("epoch_loop_sec", 0.0), 1),
+                epochs=stats["epochs_processed"],
+                rows_emitted=stats["rows_emitted"],
+                joins_per_sec=int(stats["rows_emitted"] / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+                out_gib=round(_dir_gib(f"{base}/out"), 2),
+            )
+        elif mode == "minhash":
+            n_docs = gen_docs(f"{base}/input", gib)
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = n_docs
+
+            import ray.data
+
+            from statefulstreamprocessor_ray.stages.dedup import minhash_lsh_pairs
+
+            t1 = time.time()
+            pairs = minhash_lsh_pairs(
+                ray.data.read_parquet(f"{base}/input"), threshold=0.5
+            )
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                pairs=pairs.num_rows,
+                expected_pairs=n_docs // 100,
+                docs_per_sec=int(n_docs / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+            )
+        else:
+            raise SystemExit(f"unknown mode {mode}")
+        out["spilled_mib"] = _spill_mib()
+        out["driver_peak_rss_gib"] = round(_driver_peak_rss_gib(), 2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -159,25 +159,81 @@ def _md5_u64(flat: list[str]) -> np.ndarray:
     )
 
 
+_SHINGLE_C = np.uint64(1099511628211)  # FNV-1a prime, token-hash combiner
+
+
 def _batch_shingle_hashes(batch, k: int, text_col: str, id_col: str, hash_fn="sip"):
-    """Flatten a batch's distinct shingles and hash them in ONE vectorized
-    call. Returns (doc_ids int64[n], counts int64[n_docs], hashes uint64[n])
-    where hashes are grouped contiguously per doc."""
-    ids, counts, flat = [], [], []
-    for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
-        sh = _word_shingles(text, k)
-        ids.append(doc_id)
-        counts.append(len(sh))
-        flat.extend(sh)
-    if not flat:
-        hashes = np.array([], np.uint64)
-    elif hash_fn == "md5":
-        hashes = _md5_u64(flat)
-    else:
-        hashes = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
-    counts = np.asarray(counts, np.int64)
-    doc_ids = np.repeat(np.asarray(ids, np.int64), counts)
-    return doc_ids, counts, hashes
+    """Flatten a batch's distinct shingles and hash them vectorized.
+    Returns (doc_ids int64[n], counts int64[n_docs], hashes uint64[n])
+    where hashes are grouped contiguously per doc.
+
+    ``hash_fn="md5"`` hashes each shingle STRING (DuckDB-reproducible, the
+    oracle mode — per-doc Python shingle construction, small-sf only).
+    ``hash_fn="sip"`` (THE scale path) never builds shingle strings at all:
+    one vectorized SipHash over the batch's flat TOKENS, then a polynomial
+    combine of each k-window's token hashes — equal shingles get equal
+    hashes, distinct ones collide at ~2^-64 (same risk the string hash
+    had), and the per-doc work drops from O(tokens) string joins to flat
+    numpy passes. Shingle sets are deduped per doc in both modes."""
+    if hash_fn == "md5":
+        ids, counts, flat = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            sh = _word_shingles(text, k)
+            ids.append(doc_id)
+            counts.append(len(sh))
+            flat.extend(sh)
+        hashes = _md5_u64(flat) if flat else np.array([], np.uint64)
+        counts = np.asarray(counts, np.int64)
+        return np.repeat(np.asarray(ids, np.int64), counts), counts, hashes
+
+    tok_lists = batch[text_col].fillna("").str.lower().str.split()
+    n_toks = tok_lists.str.len().to_numpy(np.int64)
+    ids = np.asarray(batch[id_col], np.int64)
+    n_docs = len(ids)
+    if not n_toks.any():
+        z = np.zeros(n_docs, np.int64)
+        return np.array([], np.int64), z, np.array([], np.uint64)
+    flat = np.concatenate([np.asarray(l, dtype=object) for l in tok_lists if l])
+    ht = pd.util.hash_array(flat, categorize=False).astype(np.uint64, copy=False)
+    doc_idx = np.repeat(np.arange(n_docs), n_toks)
+
+    parts_doc, parts_h = [], []
+    # long docs (>= k tokens): every window start whose k-th token is still
+    # in the same doc; H = ((ht[p]*C + ht[p+1])*C + ...) over the window
+    if (n_toks >= k).any() and len(ht) >= k:
+        n_win = len(ht) - k + 1
+        valid = doc_idx[:n_win] == doc_idx[k - 1 :]
+        h = ht[:n_win].copy()
+        for j in range(1, k):
+            h = h * _SHINGLE_C + ht[j : n_win + j]
+        parts_doc.append(doc_idx[:n_win][valid])
+        parts_h.append(h[valid])
+    # short docs (0 < n < k): one shingle combining all the doc's tokens
+    short = np.nonzero((n_toks > 0) & (n_toks < k))[0]
+    if len(short):
+        tok0 = np.concatenate(([0], np.cumsum(n_toks)[:-1]))
+        sh = np.empty(len(short), np.uint64)
+        for i, d in enumerate(short):
+            h = np.uint64(0)
+            for j in range(tok0[d], tok0[d] + n_toks[d]):
+                h = h * _SHINGLE_C + ht[j]
+            sh[i] = h
+        parts_doc.append(short.astype(np.int64))
+        parts_h.append(sh)
+
+    doc_of_sh = np.concatenate(parts_doc)
+    h_all = np.concatenate(parts_h)
+    # per-doc distinct: lexsort by (doc, hash), keep run starts — doc order
+    # (= batch order) is preserved, hashes stay contiguous per doc
+    order = np.lexsort((h_all, doc_of_sh))
+    doc_of_sh, h_all = doc_of_sh[order], h_all[order]
+    first = np.empty(len(h_all), bool)
+    if len(h_all):
+        first[0] = True
+        first[1:] = (h_all[1:] != h_all[:-1]) | (doc_of_sh[1:] != doc_of_sh[:-1])
+    doc_of_sh, h_all = doc_of_sh[first], h_all[first]
+    counts = np.bincount(doc_of_sh, minlength=n_docs).astype(np.int64)
+    return ids[doc_of_sh], counts, h_all
 
 
 class ShingleStage:
@@ -466,15 +522,14 @@ class MinHashStage:
         self.hash_fn = hash_fn
 
     def signature(self, text: str) -> np.ndarray | None:
-        """Single-doc signature (kept for direct use/tests)."""
-        sh_set = _word_shingles(text, self.k)
-        if not sh_set:
+        """Single-doc signature (kept for direct use/tests); shares the
+        batch path's shingle-hash scheme via ``_batch_shingle_hashes``."""
+        batch = pd.DataFrame({self.id_col: [0], self.text_col: [text]})
+        _, counts, sh = _batch_shingle_hashes(
+            batch, self.k, self.text_col, self.id_col, self.hash_fn
+        )
+        if counts[0] == 0:
             return None
-        flat = sorted(sh_set)
-        if self.hash_fn == "md5":
-            sh = _md5_u64(flat)
-        else:
-            sh = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
@@ -595,15 +650,14 @@ class SimHashStage:
         self.hash_fn = hash_fn
 
     def simhash(self, text: str) -> int:
-        """Single-doc simhash (kept for direct use/tests)."""
-        sh_set = _word_shingles(text, self.k)
-        if not sh_set:
+        """Single-doc simhash (kept for direct use/tests); shares the batch
+        path's shingle-hash scheme via ``_batch_shingle_hashes``."""
+        batch = pd.DataFrame({self.id_col: [0], self.text_col: [text]})
+        _, counts, hs = _batch_shingle_hashes(
+            batch, self.k, self.text_col, self.id_col, self.hash_fn
+        )
+        if counts[0] == 0:
             return 0
-        flat = sorted(sh_set)
-        if self.hash_fn == "md5":
-            hs = _md5_u64(flat)
-        else:
-            hs = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
