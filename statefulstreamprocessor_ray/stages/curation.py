@@ -77,15 +77,21 @@ def deterministic_sample(
 
 
 def benchmark_shingle_hashes(
-    bench: ray.data.Dataset, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    bench: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "sip",
 ) -> np.ndarray:
-    """Distinct k-gram hashes of the (small) benchmark set — md5 mode so the
-    whole decontamination decision is SQL-reproducible."""
+    """Distinct k-gram hashes of the (small) benchmark set. The overlap
+    decision is hash-agnostic as long as BOTH sides use the same scheme:
+    ``sip`` (default) is the vectorized scale path; ``md5`` remains for
+    byte-level SQL reproduction of the hash values themselves."""
     parts = []
     for b in bench.select_columns([id_col, text_col]).iter_batches(
         batch_size=8192, batch_format="pandas"
     ):
-        _, _, hashes = _batch_shingle_hashes(b, k, text_col, id_col, hash_fn="md5")
+        _, _, hashes = _batch_shingle_hashes(b, k, text_col, id_col, hash_fn=hash_fn)
         parts.append(np.unique(hashes))
     return (
         np.unique(np.concatenate(parts)) if parts else np.array([], np.uint64)
@@ -100,6 +106,7 @@ def decontaminate(
     id_col: str = "doc_id",
     keep_cols: tuple = (),
     mode: str = "flag",
+    hash_fn: str = "sip",
 ) -> ray.data.Dataset:
     """Benchmark decontamination: for each corpus doc, count its distinct
     k-grams that appear anywhere in the benchmark set.
@@ -107,10 +114,15 @@ def decontaminate(
     ``mode="flag"`` emits every doc with ``(n_overlap, contaminated)``;
     ``mode="drop"`` keeps only clean docs. The benchmark shingle set is
     broadcast once (``ray.put``) and fetched per actor; the corpus is
-    streamed through one map_batches — no shuffle."""
+    streamed through one map_batches — no shuffle. ``hash_fn="sip"``
+    (default) is the vectorized scale path; the overlap result is
+    hash-agnostic (both sides share the scheme), so the SQL oracle holds
+    in either mode."""
     import ray as _ray
 
-    bench_hashes = benchmark_shingle_hashes(bench, k=k, text_col=text_col, id_col=id_col)
+    bench_hashes = benchmark_shingle_hashes(
+        bench, k=k, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
     ref = _ray.put(bench_hashes)
 
     class Decontaminator:
@@ -119,7 +131,7 @@ def decontaminate(
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             doc_ids_rep, counts, hashes = _batch_shingle_hashes(
-                batch, k, text_col, id_col, hash_fn="md5"
+                batch, k, text_col, id_col, hash_fn=hash_fn
             )
             hit = np.isin(hashes, self.bench)
             # reduceat over NONZERO docs only (the SimHashStage pattern):
