@@ -50,19 +50,21 @@ class StreamingDedupConfig:
 
 
 def _content_hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Full 128-bit md5 digest as (lo, hi) uint64 arrays — 64-bit identity
+    """128-bit content identity as (lo, hi) uint64 arrays — 64-bit identity
     is not enough for 'exact' dedup at the 10^12-doc target (review
-    finding); 128 bits keeps birthday collisions negligible."""
-    import hashlib
-
-    n = len(texts)
-    lo = np.empty(n, np.uint64)
-    hi = np.empty(n, np.uint64)
-    for i, s in enumerate(texts.fillna("")):
-        d = hashlib.md5(s.encode()).digest()
-        lo[i] = int.from_bytes(d[:8], "little")
-        hi[i] = int.from_bytes(d[8:], "little")
-    return lo, hi
+    finding); 128 bits keeps birthday collisions negligible. Two
+    independent fixed-key SipHash passes (``pd.util.hash_array`` with
+    distinct keys): vectorized C per batch, deterministic cross-process —
+    the identity must be stable across epochs, runs and machines because
+    checkpointed digests are compared against future batches. (Replaces a
+    per-row hashlib.md5 loop; md5 buys nothing here — accidental-collision
+    resistance is equal at 128 bits, and md5 is no stronger adversarially.)
+    Changing the scheme invalidates pre-round-3 checkpoint state, which is
+    an internal format."""
+    vals = texts.fillna("").to_numpy(dtype=object)
+    lo = pd.util.hash_array(vals, hash_key="0123456789123456", categorize=False)
+    hi = pd.util.hash_array(vals, hash_key="6543210987654321", categorize=False)
+    return lo.astype(np.uint64, copy=False), hi.astype(np.uint64, copy=False)
 
 
 # NOTE on membership testing: packing the two digest halves into complex128
