@@ -75,3 +75,33 @@ def test_md5_hash_matches_duckdb_md5_number_lower():
         con.execute("SELECT md5_number_lower(?)", [v]).fetchone()[0] for v in vals
     ]
     assert list(got) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=texts_strategy)
+def test_sip_shingle_counts_match_string_semantics(texts):
+    # the vectorized sip path never builds shingle strings; its per-doc
+    # DISTINCT count and grouping must still match the string-set reference
+    from statefulstreamprocessor_ray.stages.dedup import (
+        _batch_shingle_hashes,
+        _word_shingles,
+    )
+
+    batch = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    doc_ids, counts, hashes = _batch_shingle_hashes(batch, 3, "text", "doc_id")
+    assert counts.tolist() == [len(_word_shingles(t, 3)) for t in texts]
+    assert len(hashes) == counts.sum()
+    assert doc_ids.tolist() == np.repeat(np.arange(len(texts)), counts).tolist()
+    # per-doc hashes are distinct (the dedup the string set provided)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    for i, c in enumerate(counts):
+        seg = hashes[starts[i] : starts[i] + c]
+        assert len(np.unique(seg)) == c
+    # equal texts produce equal hash sets; the two modes agree on identity
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            sa = set(hashes[starts[i] : starts[i] + counts[i]].tolist())
+            sb = set(hashes[starts[j] : starts[j] + counts[j]].tolist())
+            assert (sa == sb) == (_word_shingles(a, 3) == _word_shingles(b, 3))
