@@ -89,9 +89,17 @@ def corpus_build(
 
     kept = r.map_batches(quality, batch_format="pyarrow", zero_copy_batch=True)
 
+    # the filtered corpus feeds several consumers (two pair passes, the
+    # apply, and everything downstream): without a pin, EVERY consumer
+    # re-executes the read+scrub+stats+filter lineage. checkpoint_dir
+    # (preferred at large scale) pins it as resumable partitioned Parquet;
+    # otherwise pin blocks in the object store — distributed and
+    # spill-backed, never a driver copy.
     if checkpoint_dir is not None:
         kept.write_parquet(checkpoint_dir)
         kept = ray.data.read_parquet(checkpoint_dir)
+    else:
+        kept = kept.materialize()
 
     exact_edges = dedup.exact_dup_pairs(kept, text_col=text_col, id_col=id_col)
     near_edges = dedup.ngram_jaccard_pairs(

@@ -352,32 +352,32 @@ def scrub_text(
 ) -> ray.data.Dataset:
     """PII/URL scrubbing: replace each pattern with ``<NAME>`` tokens and
     count per-pattern hits — the standard pre-training text hygiene pass.
-    Regexes compile once per ACTOR (the canonical stateful-stage shape);
-    per batch it is one vectorized pandas str.count/str.replace per pattern.
-    Output: (id, keep_cols..., text, n_<name>...) with text scrubbed in
-    pattern order."""
+    Per batch it is one vectorized pandas str.count/str.replace per
+    pattern. Plain-function stage (tasks, like ShingleStage): compiling a
+    handful of regexes is microseconds and ``re`` caches them per process,
+    so an actor pool would only add spin-up latency — which compounds when
+    a composed pipeline (corpus_build) re-executes the scrub lineage for
+    several consumers. Output: (id, keep_cols..., text, n_<name>...) with
+    text scrubbed in pattern order."""
     pats = patterns or SCRUB_PATTERNS
 
-    class Scrubber:
-        def __init__(self):
-            import re
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
 
-            self.compiled = {name: re.compile(p) for name, p in pats.items()}
+        s = batch[text_col].fillna("")
+        out = {id_col: np.asarray(batch[id_col], np.int64)}
+        for c in keep_cols:
+            out[c] = batch[c].to_numpy()
+        counts = {}
+        for name, p in pats.items():
+            rx = re.compile(p)  # per-process cache makes this free after one
+            counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
+            s = s.str.replace(rx, f"<{name.upper()}>", regex=True)
+        out[text_col] = s
+        out.update(counts)
+        return pd.DataFrame(out)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            s = batch[text_col].fillna("")
-            out = {id_col: np.asarray(batch[id_col], np.int64)}
-            for c in keep_cols:
-                out[c] = batch[c].to_numpy()
-            counts = {}
-            for name, rx in self.compiled.items():
-                counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
-                s = s.str.replace(rx, f"<{name.upper()}>", regex=True)
-            out[text_col] = s
-            out.update(counts)
-            return pd.DataFrame(out)
-
-    return ds.map_batches(Scrubber, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(scrub, batch_format="pandas")
 
 
 def repetition_stats(
