@@ -179,9 +179,17 @@ def main() -> None:
         stats = StreamingDedupJob(dcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "dedup", **stats}))
     elif args.mode == "corpus":
+        import os
+
         import ray.data
 
         from statefulstreamprocessor_ray.pipelines.corpus import corpus_build
+
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            raise SystemExit(
+                f"--out {args.out} is not empty; parquet writes append, so a "
+                "rerun would mix stale chunks with new ones — pass a clean dir"
+            )
 
         chunks = corpus_build(
             ray.data.read_parquet(args.input),

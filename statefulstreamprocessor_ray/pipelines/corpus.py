@@ -18,8 +18,10 @@ map_batches; the two dedup passes are the only exchanges and both ship
 and drop sets are O(duplicates) driver-side and broadcast back via
 ``ray.put``. The filtered corpus feeds three consumers (two pair passes +
 the apply); pass ``checkpoint_dir`` to materialize it ONCE as partitioned
-Parquet instead of recomputing the scrub+filter lineage per consumer —
-at 100-TB scale the checkpoint is also the resume point.
+Parquet instead of pinning object-store blocks — the right trade at
+100-TB scale, where the object store would spill the whole corpus. The
+checkpoint dir is cleared and rewritten per run (parquet writes append;
+a stale copy would silently double downstream rows).
 """
 
 from __future__ import annotations
@@ -92,10 +94,14 @@ def corpus_build(
     # the filtered corpus feeds several consumers (two pair passes, the
     # apply, and everything downstream): without a pin, EVERY consumer
     # re-executes the read+scrub+stats+filter lineage. checkpoint_dir
-    # (preferred at large scale) pins it as resumable partitioned Parquet;
-    # otherwise pin blocks in the object store — distributed and
-    # spill-backed, never a driver copy.
+    # (preferred at large scale) pins it as partitioned Parquet — CLEARED
+    # first, because write_parquet appends and a stale copy would silently
+    # double every downstream row; otherwise pin blocks in the object
+    # store — distributed and spill-backed, never a driver copy.
     if checkpoint_dir is not None:
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
         kept.write_parquet(checkpoint_dir)
         kept = ray.data.read_parquet(checkpoint_dir)
     else:

@@ -115,11 +115,17 @@ def _effective_payload_cols(cfg: StreamingJoinConfig) -> list[str]:
     return cols
 
 
-def _provenance_read(files: list[str], file_idx_of: dict[str, int]):
-    """Read parquet files with exact per-row provenance: one read task per
-    row group (the same parallelism grain read_parquet uses), each attaching
-    src_file_idx (position in the sorted input-file list — the 'partition')
-    and src_row (row index within the file — the 'offset')."""
+def _provenance_read(
+    files: list[str], file_idx_of: dict[str, int], n_blocks: int | None = None
+):
+    """Read parquet files with exact per-row provenance: read tasks over
+    row groups, each attaching src_file_idx (position in the sorted
+    input-file list — the 'partition') and src_row (row index within the
+    file — the 'offset'). ``n_blocks`` caps the OUTPUT block count by
+    grouping several row groups per task — each downstream block's
+    hive-partition writer opens one file per touched (shard, epoch) dir,
+    so one-block-per-row-group would reintroduce the blocks x partitions
+    write blowup the non-provenance path bounds."""
     import ray.data
 
     items = []
@@ -155,8 +161,11 @@ def _provenance_read(files: list[str], file_idx_of: dict[str, int]):
             parts.append(t)
         return pa.concat_tables(parts)
 
+    rgs_per_task = (
+        max(1, (len(items) + n_blocks - 1) // n_blocks) if n_blocks else 1
+    )
     return ray.data.from_items(items).map_batches(
-        read_rg, batch_size=1, batch_format="pandas"
+        read_rg, batch_size=rgs_per_task, batch_format="pandas"
     )
 
 
@@ -221,7 +230,7 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
 
     def read_files(group: list[str], n_blocks: int | None = None):
         if cfg.provenance:
-            return _provenance_read(group, file_idx_of)
+            return _provenance_read(group, file_idx_of, n_blocks=n_blocks)
         if n_blocks is not None:
             return ray.data.read_parquet(group, override_num_blocks=n_blocks)
         return ray.data.read_parquet(group)

@@ -5,7 +5,8 @@ The continuous-ingest form of ``stages/dedup.exact_dedup``: documents arrive
 as files (arrival-order epochs); a document is emitted iff its content was
 never seen in ANY earlier epoch (and, within its first epoch, it is the
 min-id holder of that content). Per-shard state = the sorted array of seen
-128-BIT md5 content digests — O(distinct contents), the minimum any exact
+128-bit content digests (``stages/dedup.content_hash128``) — O(distinct
+contents), the minimum any exact
 dedup must hold, and collision odds stay negligible even at 10^12 distinct
 contents (a 64-bit key would already be ~3% likely to collide at 10^9);
 shard = digest % K, so a given content always lands on the same shard and
@@ -36,6 +37,14 @@ import ray
 from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
 from statefulstreamprocessor_ray.state.checkpoint import CheckpointStore
 
+# canonical 128-bit content identity, shared with batch exact_dup_pairs
+# (replaced a per-row hashlib.md5 loop in round 3; scheme changes
+# invalidate prior checkpoint state — restore() aborts cleanly on
+# pre-delta-format snapshots)
+from statefulstreamprocessor_ray.stages.dedup import (
+    content_hash128 as _content_hash128,
+)
+
 
 @dataclass
 class StreamingDedupConfig:
@@ -48,23 +57,6 @@ class StreamingDedupConfig:
     text_col: str = "text"
     intermediate_compression: str = "none"  # see streaming.py note
 
-
-def _content_hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """128-bit content identity as (lo, hi) uint64 arrays — 64-bit identity
-    is not enough for 'exact' dedup at the 10^12-doc target (review
-    finding); 128 bits keeps birthday collisions negligible. Two
-    independent fixed-key SipHash passes (``pd.util.hash_array`` with
-    distinct keys): vectorized C per batch, deterministic cross-process —
-    the identity must be stable across epochs, runs and machines because
-    checkpointed digests are compared against future batches. (Replaces a
-    per-row hashlib.md5 loop; md5 buys nothing here — accidental-collision
-    resistance is equal at 128 bits, and md5 is no stronger adversarially.)
-    Changing the scheme invalidates pre-round-3 checkpoint state, which is
-    an internal format."""
-    vals = texts.fillna("").to_numpy(dtype=object)
-    lo = pd.util.hash_array(vals, hash_key="0123456789123456", categorize=False)
-    hi = pd.util.hash_array(vals, hash_key="6543210987654321", categorize=False)
-    return lo.astype(np.uint64, copy=False), hi.astype(np.uint64, copy=False)
 
 
 # NOTE on membership testing: packing the two digest halves into complex128
@@ -222,6 +214,8 @@ class DedupShardActor:
         lo_parts, hi_parts = [], []
         for e in sorted(found):
             snap = self.ckpt.load(self.shard_id, e)
+            if "delta_lo" not in snap:
+                return -1  # pre-delta-format snapshot: clean resume-abort
             lo_parts.append(snap["delta_lo"])
             hi_parts.append(snap["delta_hi"])
         self.seen_lo = np.concatenate(lo_parts)

@@ -57,6 +57,21 @@ def exact_dedup(
     return out
 
 
+def content_hash128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content identity as (lo, hi) uint64 arrays — 64-bit identity
+    is not enough for 'exact' dedup at the 10^12-doc target; 128 bits
+    keeps birthday collisions negligible. Two independent fixed-key
+    SipHash passes (``pd.util.hash_array`` with distinct keys): vectorized
+    C per batch, deterministic cross-process — stable across epochs, runs
+    and machines, so checkpointed digests compare against future batches.
+    THE canonical scheme: both batch ``exact_dup_pairs`` and the streaming
+    dedup job use this helper; change it in one place only."""
+    vals = texts.fillna("").to_numpy(dtype=object)
+    lo = pd.util.hash_array(vals, hash_key="0123456789123456", categorize=False)
+    hi = pd.util.hash_array(vals, hash_key="6543210987654321", categorize=False)
+    return lo.astype(np.uint64, copy=False), hi.astype(np.uint64, copy=False)
+
+
 def exact_dup_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -68,10 +83,8 @@ def exact_dup_pairs(
     cluster/apply step (``cluster_duplicates`` + ``apply_dedup``).
 
     Only ``(hash128, id)`` rows ever leave a batch — never document text.
-    Content identity is two independent vectorized SipHash calls
-    (``pd.util.hash_array`` with distinct keys, 128 bits total: birthday
-    collisions stay negligible at 100-TB corpus cardinalities, same policy
-    as streaming dedup's 128-bit digests). The exchange groups by a coarse
+    Content identity is ``content_hash128`` (shared with the streaming
+    dedup job). The exchange groups by a coarse
     ``mix(h_lo) % n_buckets`` bucket (each bucket fully contains its
     hashes, see ``_bucket_pairs``); workers sort each bucket by (hash, id)
     once and emit one edge per NON-first member — a group of m identical
@@ -86,9 +99,7 @@ def exact_dup_pairs(
             n_buckets = 64
 
     def hash_ids(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[text_col].fillna("").to_numpy(dtype=object)
-        lo = pd.util.hash_array(texts, hash_key="0123456789123456", categorize=False)
-        hi = pd.util.hash_array(texts, hash_key="6543210987654321", categorize=False)
+        lo, hi = content_hash128(df[text_col])
         m = (lo ^ (lo >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         m = (m ^ (m >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         m = m ^ (m >> np.uint64(31))

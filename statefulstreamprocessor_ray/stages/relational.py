@@ -100,7 +100,12 @@ def partitioned_join(
     each side's declared types survive the merge exactly (no pandas
     NaN-driven int→float64 widening). Output column order is pinned to
     left columns then right columns (minus the duplicate key when both
-    sides share the key name), matching pandas merge."""
+    sides share the key name), matching pandas merge.
+
+    NULL join keys follow SQL semantics (Acero): a null key matches
+    NOTHING — inner drops the row, left emits it with null right columns.
+    This matches the DuckDB oracle; pandas merge would have matched
+    NaN↔NaN keys (documented, tested divergence from pandas)."""
     import ray as _ray
 
     right_on = right_on or left_on

@@ -126,3 +126,32 @@ def test_partitioned_join_rejects_column_collision():
         relational.partitioned_join(
             ray.data.from_pandas(left), ray.data.from_pandas(right), left_on="k"
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_join_null_keys_follow_sql_semantics():
+    # SQL/Acero semantics: a NULL key matches NOTHING (pandas merge would
+    # match NaN<->NaN). Inner drops null-key rows; left keeps them with
+    # null right columns — exactly what the DuckDB oracle computes.
+    import pyarrow as pa
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2, None], pa.int64()),
+         "lval": pa.array(np.arange(4, dtype=np.int64))}
+    )
+    right = pa.table(
+        {"k": pa.array([1, None, 3], pa.int64()),
+         "rval": pa.array(np.arange(3, dtype=np.int64))}
+    )
+    inner = relational.partitioned_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), "k", how="inner"
+    ).to_pandas()
+    assert inner["k"].tolist() == [1] and inner["rval"].tolist() == [0]
+
+    lj = relational.partitioned_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), "k", how="left"
+    ).to_pandas()
+    assert len(lj) == 4
+    matched = lj[lj["k"].notna() & (lj["k"] == 1)]
+    assert matched["rval"].tolist() == [0]
+    assert lj[lj["k"].isna()]["rval"].isna().all()

@@ -154,3 +154,30 @@ def test_matches_batch_dedup_on_random_corpus(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_restore_aborts_cleanly_on_pre_delta_snapshots(tmp_path):
+    # a work dir holding pre-round-3 FULL-snapshot checkpoints (keys
+    # seen_lo/seen_hi, no delta_*) must hit the clean resume-abort path
+    # (-1 -> RuntimeError upstream), not a KeyError inside the actor
+    import numpy as np
+    import ray
+
+    from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+        DedupShardActor,
+    )
+    from statefulstreamprocessor_ray.state.checkpoint import CheckpointStore
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    store = CheckpointStore(ckpt_dir)
+    store.save(
+        0,
+        0,
+        {"seen_lo": np.array([1], np.uint64), "seen_hi": np.array([2], np.uint64)},
+    )
+    actor = DedupShardActor.remote(
+        0, {"id_col": "doc_id", "text_col": "text"}, ckpt_dir
+    )
+    assert ray.get(actor.restore.remote(0, [0])) == -1
+    ray.kill(actor)
