@@ -106,6 +106,14 @@ def main() -> None:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--max-epochs", type=int, default=None)
+    dd.add_argument(
+        "--curate",
+        action="store_true",
+        help="scrub + quality-filter each batch before dedup (streaming "
+        "corpus curation); dedup identity = content AFTER curation",
+    )
+    dd.add_argument("--min-tokens", type=int, default=20)
+    dd.add_argument("--max-top-frac", type=float, default=0.125)
 
     for p in (b, s, w, cp, dd, cb):
         p.add_argument("--num-cpus", type=int, default=8)
@@ -167,6 +175,18 @@ def main() -> None:
             StreamingDedupJob,
         )
 
+        prepare = None
+        prepare_tag = ""
+        if args.curate:
+            from statefulstreamprocessor_ray.pipelines.corpus import CurationPrepare
+
+            prepare = CurationPrepare(
+                min_tokens=args.min_tokens,
+                max_top_frac=args.max_top_frac,
+                text_col=args.text_col,
+                id_col=args.id_col,
+            )
+            prepare_tag = f"scrub+q{args.min_tokens}/{args.max_top_frac}"
         dcfg = StreamingDedupConfig(
             input_path=args.input,
             work_dir=args.work,
@@ -175,6 +195,8 @@ def main() -> None:
             files_per_epoch=args.files_per_epoch,
             id_col=args.id_col,
             text_col=args.text_col,
+            prepare_fn=prepare,
+            prepare_tag=prepare_tag,
         )
         stats = StreamingDedupJob(dcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "dedup", **stats}))

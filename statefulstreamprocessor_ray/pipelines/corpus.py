@@ -41,6 +41,55 @@ from statefulstreamprocessor_ray.stages.curation import (
 )
 
 
+class CurationPrepare:
+    """Picklable phase-0 transform for ``StreamingDedupJob``: scrub + quality
+    filter per batch, turning the streaming exact-dedup job into a streaming
+    CORPUS-CURATION pipeline (the follow-the-tail form of
+    :func:`corpus_build`'s first stages). ``pa.Table -> pa.Table``: rewrites
+    ``text_col`` with the scrubbed text and drops rows failing the quality
+    gate; dedup identity downstream = content AFTER curation, so two docs
+    differing only in scrubbed-away PII dedup together."""
+
+    def __init__(
+        self,
+        min_tokens: int = 20,
+        max_top_frac: float = 0.125,
+        patterns: dict | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        from statefulstreamprocessor_ray.stages.curation import SCRUB_PATTERNS
+
+        self.patterns = dict(patterns or SCRUB_PATTERNS)
+        self.min_tokens = min_tokens
+        self.max_top_frac = max_top_frac
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import re
+
+        import pandas as pd
+
+        from statefulstreamprocessor_ray.stages.curation import (
+            repetition_stats_batch,
+        )
+
+        df = batch.to_pandas()
+        s = df[self.text_col].fillna("")
+        for name, p in self.patterns.items():
+            s = s.str.replace(re.compile(p), f"<{name.upper()}>", regex=True)
+        df = df.assign(**{self.text_col: s})
+        stats = repetition_stats_batch(
+            df, text_col=self.text_col, id_col=self.id_col
+        )
+        keep = (stats["n_tokens"].to_numpy() >= self.min_tokens) & (
+            stats["top_token_frac"].to_numpy() <= self.max_top_frac
+        )
+        return pa.Table.from_pandas(df[keep], preserve_index=False).select(
+            batch.column_names
+        )
+
+
 def corpus_build(
     docs: ray.data.Dataset,
     bench: ray.data.Dataset | None = None,

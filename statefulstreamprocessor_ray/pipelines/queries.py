@@ -533,6 +533,49 @@ def q_streaming_dedup(sf_dir):
     )
 
 
+def q_streaming_corpus(sf_dir):
+    """Streaming corpus curation: the documents corpus replayed as 3 arrival
+    epochs through StreamingDedupJob with a CurationPrepare phase-0
+    transform (scrub + quality gate), so each epoch emits the NEW clean
+    first-occurrences — corpus_build's front half as a follow-the-tail
+    streaming job. doc_id-ordered epochs make the oracle 'min doc_id per
+    scrubbed text over quality-passing docs'."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from statefulstreamprocessor_ray.pipelines.corpus import CurationPrepare
+    from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+        StreamingDedupConfig,
+        StreamingDedupJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("scorpus", "docs", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq_.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingDedupConfig(
+        input_path=inp,
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=4,
+        prepare_fn=CurationPrepare(min_tokens=20, max_top_frac=0.125),
+        prepare_tag="scrub+q20/0.125",
+    )
+    StreamingDedupJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def q_scrub_text(sf_dir):
     """PII/URL scrubbing pass (emails -> <EMAIL>, URLs -> <URL>) with
     per-pattern hit counts; regexes compiled once per actor."""
@@ -863,6 +906,7 @@ QUERIES = {
     "session_join": q_session_join,
     "dedup_apply": q_dedup_apply,
     "corpus_build": q_corpus_build,
+    "streaming_corpus": q_streaming_corpus,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
@@ -1702,6 +1746,35 @@ FROM m GROUP BY conv_id
 ORACLE_SQL["streaming_dedup"] = """
 SELECT doc_id, text FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+# streaming_corpus: scrub (same regex chain as scrub_text) + quality gate
+# (corpus_build thresholds) applied BEFORE the cross-epoch first-occurrence
+# rule; doc_id-ordered epochs again collapse it to min doc_id per SCRUBBED
+# text over the quality-passing docs
+ORACLE_SQL["streaming_corpus"] = """
+WITH s1 AS (
+  SELECT doc_id, regexp_replace(coalesce(text,''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t0
+  FROM documents
+), s2 AS (
+  SELECT doc_id, regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t FROM s1
+), tok AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws
+  FROM s2
+), cnt AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM tok) GROUP BY 1, 2
+), qstat AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top FROM cnt GROUP BY 1
+), kept AS (
+  SELECT tok.doc_id, tok.t FROM tok JOIN qstat USING (doc_id)
+  WHERE qstat.n_tokens >= 20
+    AND CAST(qstat.top AS DOUBLE) / qstat.n_tokens <= 0.125
+)
+SELECT doc_id, t AS text FROM kept
+QUALIFY row_number() OVER (PARTITION BY t ORDER BY doc_id) = 1
 """
 
 # scrub_text: same RE2-and-Python-compatible patterns applied in the same

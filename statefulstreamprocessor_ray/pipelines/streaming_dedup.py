@@ -56,6 +56,15 @@ class StreamingDedupConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     intermediate_compression: str = "none"  # see streaming.py note
+    # optional per-batch transform applied BEFORE hashing in phase-0
+    # (pa.Table -> pa.Table): may rewrite text_col and drop rows (curation —
+    # see pipelines/corpus.CurationPrepare), must keep id_col + text_col.
+    # Dedup identity = content AFTER the transform. Must be picklable.
+    prepare_fn: object | None = None
+    # participates in the partition done-marker: bump it whenever
+    # prepare_fn's behavior changes, or cached partitions (keyed only on
+    # input fingerprint + layout) would silently serve the OLD transform
+    prepare_tag: str = ""
 
 
 
@@ -84,6 +93,7 @@ def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
         "n_shards": cfg.n_shards,
         "columns": [cfg.id_col, cfg.text_col],
         "files_per_epoch": cfg.files_per_epoch,
+        "prepare_tag": cfg.prepare_tag,
     }
     tail_from: int | None = None
     if os.path.exists(marker):
@@ -100,8 +110,11 @@ def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
             tail_from = len(done["fingerprint"])
 
     n_shards, id_col, text_col = cfg.n_shards, cfg.id_col, cfg.text_col
+    prepare = cfg.prepare_fn
 
     def tag(batch: pa.Table, epoch: int) -> pa.Table:
+        if prepare is not None:
+            batch = prepare(batch)
         texts = batch[text_col].to_pandas()
         lo, hi = _content_hash128(texts)
         return pa.table(

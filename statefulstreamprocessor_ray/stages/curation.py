@@ -380,6 +380,20 @@ def scrub_text(
     return ds.map_batches(scrub, batch_format="pandas")
 
 
+def repetition_stats_batch(
+    batch: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> pd.DataFrame:
+    """One batch of Gopher-style repetition signals (the body of
+    :func:`repetition_stats`, reusable by the streaming curation prepare).
+    Flat-token vectorization: one factorize over the batch's tokens, one
+    lexsort by (doc, token-code), run-length encode, then bincount /
+    maximum.reduceat per doc — the SimHashStage pattern."""
+    return _repetition_fn(batch, text_col, id_col, keep_cols)
+
+
 def repetition_stats(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -388,45 +402,49 @@ def repetition_stats(
 ) -> ray.data.Dataset:
     """Gopher-style repetition signals per doc: token count, distinct-token
     count, and the most-frequent-token fraction (high values flag boilerplate
-    / degenerate text). Flat-token vectorization (no per-doc Python loop):
-    one factorize over the batch's tokens, one lexsort by (doc, token-code),
-    run-length encode, then bincount / maximum.reduceat per doc — the
-    SimHashStage pattern. No shuffle."""
+    / degenerate text). Vectorized batch body in
+    :func:`repetition_stats_batch`. No shuffle."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        tok_lists = batch[text_col].fillna("").str.lower().str.split()
-        counts = tok_lists.str.len().to_numpy(np.int64)
-        n_docs = len(counts)
-        n_dis = np.zeros(n_docs, np.int64)
-        top = np.zeros(n_docs, np.int64)
-        if counts.any():
-            flat = np.concatenate(
-                [np.asarray(lst, dtype=object) for lst in tok_lists if lst]
-            )
-            codes = pd.factorize(flat, sort=False)[0]
-            doc_idx = np.repeat(np.arange(n_docs), counts)
-            order = np.lexsort((codes, doc_idx))
-            c, d = codes[order], doc_idx[order]
-            new_run = np.empty(len(c), bool)
-            new_run[0] = True
-            new_run[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
-            run_start = np.nonzero(new_run)[0]
-            run_doc = d[run_start]
-            run_len = np.diff(np.append(run_start, len(c)))
-            n_dis = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
-            nz = np.nonzero(counts)[0]
-            # runs are doc-contiguous: each doc's first run via searchsorted
-            top[nz] = np.maximum.reduceat(
-                run_len, np.searchsorted(run_doc, nz, side="left")
-            )
-        # exact int/int double division matches DuckDB bit-for-bit
-        top_frac = np.where(counts > 0, top / np.maximum(counts, 1), 0.0)
-        out = {id_col: np.asarray(batch[id_col], np.int64)}
-        for c in keep_cols:
-            out[c] = batch[c].to_numpy()
-        out["n_tokens"] = counts
-        out["n_distinct"] = n_dis
-        out["top_token_frac"] = top_frac.astype(np.float64)
-        return pd.DataFrame(out)
+        return _repetition_fn(batch, text_col, id_col, keep_cols)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _repetition_fn(batch, text_col, id_col, keep_cols):
+    tok_lists = batch[text_col].fillna("").str.lower().str.split()
+    counts = tok_lists.str.len().to_numpy(np.int64)
+    n_docs = len(counts)
+    n_dis = np.zeros(n_docs, np.int64)
+    top = np.zeros(n_docs, np.int64)
+    if counts.any():
+        flat = np.concatenate(
+            [np.asarray(lst, dtype=object) for lst in tok_lists if lst]
+        )
+        codes = pd.factorize(flat, sort=False)[0]
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        order = np.lexsort((codes, doc_idx))
+        c, d = codes[order], doc_idx[order]
+        new_run = np.empty(len(c), bool)
+        new_run[0] = True
+        new_run[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+        run_start = np.nonzero(new_run)[0]
+        run_doc = d[run_start]
+        run_len = np.diff(np.append(run_start, len(c)))
+        n_dis = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        # runs are doc-contiguous: each doc's first run via searchsorted
+        top[nz] = np.maximum.reduceat(
+            run_len, np.searchsorted(run_doc, nz, side="left")
+        )
+    # exact int/int double division matches DuckDB bit-for-bit
+    top_frac = np.where(counts > 0, top / np.maximum(counts, 1), 0.0)
+    out = {id_col: np.asarray(batch[id_col], np.int64)}
+    for c in keep_cols:
+        out[c] = batch[c].to_numpy()
+    out["n_tokens"] = counts
+    out["n_distinct"] = n_dis
+    out["top_token_frac"] = top_frac.astype(np.float64)
+    return pd.DataFrame(out)
+
+

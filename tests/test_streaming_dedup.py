@@ -181,3 +181,54 @@ def test_restore_aborts_cleanly_on_pre_delta_snapshots(tmp_path):
     )
     assert ray.get(actor.restore.remote(0, [0])) == -1
     ray.kill(actor)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_prepare_scrubs_filters_and_dedups_post_transform(tmp_path):
+    from statefulstreamprocessor_ray.pipelines.corpus import CurationPrepare
+
+    long = " ".join(f"w{j}" for j in range(12))
+    epochs = [
+        [
+            (0, long + " mail@example.com"),   # scrubbed; survives
+            (1, long + " <EMAIL>"),            # EQUAL to 0 post-scrub -> dup
+            (2, "short text"),                 # fails min_tokens -> dropped
+        ],
+        [
+            (3, long + " mail@other.org"),     # same post-scrub content -> dup
+            (4, long + " extra tail tokens"),  # new content
+        ],
+    ]
+    inp = _write_epoch_files(tmp_path, epochs)
+    cfg = StreamingDedupConfig(
+        input_path=inp,
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "out"),
+        n_shards=2,
+        prepare_fn=CurationPrepare(min_tokens=5, max_top_frac=1.0),
+        prepare_tag="t1",
+    )
+    stats = StreamingDedupJob(cfg).run()
+    out = ExactlyOnceParquetSink(cfg.out_dir).read_committed().to_pandas()
+    got = dict(zip(out.doc_id, out.text))
+    assert set(got) == {0, 4}
+    assert got[0] == long + " <EMAIL>"  # emitted text is the scrubbed form
+    # exactly-once: second run over committed input emits nothing
+    stats2 = StreamingDedupJob(cfg).run()
+    assert stats2["rows_emitted"] == 0
+
+    # changing the transform without bumping prepare_tag would silently
+    # reuse cached partitions; bumping it re-partitions and re-runs
+    cfg2 = StreamingDedupConfig(
+        input_path=inp,
+        work_dir=str(tmp_path / "work"),
+        out_dir=str(tmp_path / "out2"),
+        n_shards=2,
+        prepare_fn=CurationPrepare(min_tokens=1, max_top_frac=1.0),
+        prepare_tag="t2",
+    )
+    out2 = (
+        StreamingDedupJob(cfg2).run(),
+        ExactlyOnceParquetSink(cfg2.out_dir).read_committed().to_pandas(),
+    )[1]
+    assert 2 in set(out2.doc_id)  # looser gate admits the short doc
