@@ -105,6 +105,8 @@ def corpus_build(
     sample_hash_fn: str = "sip",
     chunk_tokens: int = 512,
     overlap: int = 64,
+    pack_budget: int | None = None,
+    pack_buckets: int = 8,
     carry_cols: tuple = (),
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -187,11 +189,24 @@ def corpus_build(
             hash_fn=sample_hash_fn,
         )
 
-    return chunk_documents(
+    chunks = chunk_documents(
         unique,
         chunk_tokens=chunk_tokens,
         overlap=overlap,
         text_col=text_col,
         id_col=id_col,
         keep_cols=carry_cols,
+    )
+    if pack_budget is None:
+        return chunks
+    # final packing stage: greedy fixed-budget pack ASSIGNMENT over the
+    # kept chunks (tensor assembly is a downstream gather, so chunk_text
+    # is dropped before the pack shuffle — only layout columns move)
+    from statefulstreamprocessor_ray.stages.curation import pack_sequences
+
+    return pack_sequences(
+        chunks.drop_columns(["chunk_text", *carry_cols]),
+        budget=pack_budget,
+        n_buckets=pack_buckets,
+        id_col=id_col,
     )

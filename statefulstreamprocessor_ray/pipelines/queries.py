@@ -655,6 +655,41 @@ def q_corpus_build(sf_dir):
     )
 
 
+def q_corpus_build_packed(sf_dir):
+    """corpus_build with the final packing stage: the full
+    scrub -> filter -> dedup -> decontaminate -> sample -> chunk -> PACK
+    composition, returning the greedy budget-128 pack assignment over the
+    surviving chunks. Oracle = corpus_build's CTE chain + the recursive
+    greedy-walk CTE from pack_sequences."""
+    from statefulstreamprocessor_ray.pipelines.corpus import corpus_build
+
+    docs = _documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
+
+    def split(keep_bench):
+        def fn(t):
+            mask = pc.equal(t["source"], "src0")
+            return t.filter(mask if keep_bench else pc.invert(mask))
+
+        return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    return corpus_build(
+        split(False),
+        split(True),
+        min_tokens=20,
+        max_top_frac=0.125,
+        jaccard_threshold=0.5,
+        k=3,
+        decon_k=5,
+        rates_by={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25},
+        stratum_col="lang",
+        sample_hash_fn="md5",
+        chunk_tokens=40,
+        overlap=8,
+        pack_budget=128,
+        carry_cols=("lang", "source"),
+    )
+
+
 def q_ngram_jaccard(sf_dir):
     return dedup.ngram_jaccard_pairs(
         _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.5, k=3
@@ -906,6 +941,7 @@ QUERIES = {
     "session_join": q_session_join,
     "dedup_apply": q_dedup_apply,
     "corpus_build": q_corpus_build,
+    "corpus_build_packed": q_corpus_build_packed,
     "streaming_corpus": q_streaming_corpus,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1896,6 +1932,42 @@ SELECT r.doc_id, r.lang, r.source,
        CAST(least(ch.n - ch.start, 40) AS BIGINT) AS n_tokens
 FROM ch JOIN raw r USING (doc_id)
 """
+
+# corpus_build_packed: corpus_build's CTE chain with the final chunk SELECT
+# swapped for the pack_sequences recursive greedy walk (budget 128, bucket
+# = doc_id % 8) — derived by substitution so the two oracles cannot drift
+_CB_CHUNK_TAIL = """SELECT r.doc_id, r.lang, r.source,
+       CAST(ch.start / 32 AS BIGINT) AS chunk_idx,
+       array_to_string(r.rws[ch.start + 1 : ch.start + 40], ' ') AS chunk_text,
+       CAST(least(ch.n - ch.start, 40) AS BIGINT) AS n_tokens
+FROM ch JOIN raw r USING (doc_id)"""
+assert _CB_CHUNK_TAIL in ORACLE_SQL["corpus_build"]
+ORACLE_SQL["corpus_build_packed"] = ORACLE_SQL["corpus_build"].replace(
+    _CB_CHUNK_TAIL,
+    """, chunks AS (
+  SELECT doc_id, CAST(start / 32 AS BIGINT) AS chunk_idx,
+         CAST(least(n - start, 40) AS BIGINT) AS n_tokens
+  FROM ch
+), o AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS bucket, doc_id, chunk_idx, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), walk AS (
+  SELECT bucket, rn, doc_id, chunk_idx, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS before
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.chunk_idx, o.n_tokens,
+         CASE WHEN w.before + w.n_tokens + o.n_tokens <= 128
+              THEN w.pack_id ELSE w.pack_id + 1 END,
+         CASE WHEN w.before + w.n_tokens + o.n_tokens <= 128
+              THEN w.before + w.n_tokens ELSE CAST(0 AS BIGINT) END
+  FROM walk w JOIN o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT bucket, doc_id, chunk_idx, n_tokens, pack_id,
+       before AS pack_tokens_before
+FROM walk""",
+)
 
 # repetition_stats: same tokenization as the shingle oracles; top-token
 # fraction is an EXACT int/int double division on both sides (no rounding —
