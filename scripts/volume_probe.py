@@ -22,6 +22,9 @@ near-dup path has real work.
 Usage:
   python scripts/volume_probe.py streaming [gib]   # default 12
   python scripts/volume_probe.py minhash  [gib]    # default 20
+  python scripts/volume_probe.py corpus   [gib]    # default 10 — streaming
+        curation: scrub + quality gate + cross-epoch dedup over arrival
+        epochs (StreamingDedupJob + CurationPrepare)
 """
 
 import json
@@ -92,7 +95,7 @@ def gen_transcripts(path: str, gib: float) -> int:
     return n_convs * TURNS_PER_CONV
 
 
-def gen_docs(path: str, gib: float) -> int:
+def gen_docs(path: str, gib: float, degenerate_every: int | None = None) -> int:
     import ray.data
 
     n_docs = int(gib * 2**30 / TEXT_BYTES)
@@ -110,6 +113,12 @@ def gen_docs(path: str, gib: float) -> int:
             65, 91, size=(len(clones), 90), dtype=np.uint8
         )
         chars[clones, 8::9] = 32
+        if degenerate_every:
+            # boilerplate docs: one token repeated — must fail the
+            # top-token-fraction quality gate (corpus-probe mode only)
+            degen = np.nonzero(ids % degenerate_every == 7)[0]
+            chars[degen] = ord("B")
+            chars[degen, 8::9] = 32
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -159,7 +168,8 @@ def _spill_mib() -> int:
 
 def main() -> None:
     mode = sys.argv[1]
-    gib = float(sys.argv[2]) if len(sys.argv) > 2 else (12.0 if mode == "streaming" else 20.0)
+    defaults = {"streaming": 12.0, "minhash": 20.0, "corpus": 10.0}
+    gib = float(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 10.0)
 
     import ray
     from ray.data import DataContext
@@ -203,6 +213,45 @@ def main() -> None:
                 epochs=stats["epochs_processed"],
                 rows_emitted=stats["rows_emitted"],
                 joins_per_sec=int(stats["rows_emitted"] / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+                out_gib=round(_dir_gib(f"{base}/out"), 2),
+            )
+        elif mode == "corpus":
+            # streaming curation over 8 arrival epochs: every 40th doc is
+            # degenerate boilerplate (one repeated token) and must fall to
+            # the top-token-fraction gate; the mutated-tail clones are
+            # NEAR-dups, which exact content dedup correctly passes through
+            # — so rows_emitted ≈ n_docs * 39/40 and the probe exercises
+            # scrub+gate per batch plus the cross-epoch seen-set machinery
+            n_docs = gen_docs(f"{base}/input", gib, degenerate_every=40)
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = n_docs
+
+            from statefulstreamprocessor_ray.pipelines.corpus import CurationPrepare
+            from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+                StreamingDedupConfig,
+                StreamingDedupJob,
+            )
+
+            cfg = StreamingDedupConfig(
+                input_path=f"{base}/input",
+                work_dir=f"{base}/work",
+                out_dir=f"{base}/out",
+                n_shards=32,
+                files_per_epoch=max(1, len(os.listdir(f"{base}/input")) // 8),
+                prepare_fn=CurationPrepare(min_tokens=20, max_top_frac=0.5),
+                prepare_tag="probe",
+            )
+            t1 = time.time()
+            stats = StreamingDedupJob(cfg).run()
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                epochs=stats["epochs_processed"],
+                rows_emitted=stats["rows_emitted"],
+                n_seen=stats["n_seen"],
+                docs_per_sec=int(n_docs / dt),
                 input_gib_per_sec=round(out["input_gib"] / dt, 2),
                 out_gib=round(_dir_gib(f"{base}/out"), 2),
             )
