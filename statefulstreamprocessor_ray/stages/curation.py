@@ -155,8 +155,15 @@ def decontaminate(
                 )
             return res
 
+    # autoscaling pool sized to the session (floor 1 so a 4-CPU session
+    # can't deadlock its own producers; cap cpus//4 leaves cores for the
+    # read stage — see the multimodal pools for the same policy)
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     return ds.map_batches(
-        Decontaminator, batch_format="pandas", concurrency=(1, 8)
+        Decontaminator, batch_format="pandas", concurrency=(1, max(2, cpus // 4))
     )
 
 

@@ -26,6 +26,13 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 LANG_ORDER = ("en", "fr", "es", "de", "zh")
 PUNCT_CLASS = r"[.!?,;:]"
+# GPT-2-style pre-tokenizer, ASCII form: contraction suffixes, then
+# space-prefixed letter runs / digit runs / other-symbol runs. Pure
+# whitespace is left unmatched (token COUNT, not a segmentation).
+# Python re and DuckDB RE2 are both leftmost-first on this alternation,
+# so len(findall) == len(regexp_extract_all) — the oracle reuses the
+# same string via bpe_pattern_sql().
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
 
 
 class TextAnalyzer:
@@ -33,6 +40,7 @@ class TextAnalyzer:
 
     def __init__(self):
         self.tok = re.compile(r"\s+")
+        self.bpe = re.compile(BPE_PATTERN)
         self.punct = re.compile(PUNCT_CLASS)
         self.han = re.compile(r"[一-鿿]")
         self.stop = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
@@ -43,6 +51,7 @@ class TextAnalyzer:
                 {
                     "doc_id": pd.Series([], dtype="int64"),
                     "n_tokens": pd.Series([], dtype="int64"),
+                    "n_bpe_tokens": pd.Series([], dtype="int64"),
                     "n_chars_m": pd.Series([], dtype="int64"),
                     "n_punct": pd.Series([], dtype="int64"),
                     "pred_lang": pd.Series([], dtype="object"),
@@ -72,6 +81,7 @@ class TextAnalyzer:
 
         n_tokens = counts
         n_chars = texts.str.len().to_numpy(np.int64)
+        n_bpe = texts.str.count(self.bpe).to_numpy(np.int64)
         n_punct = texts.str.count(PUNCT_CLASS).to_numpy(np.int64)
 
         score_cols = []
@@ -96,6 +106,7 @@ class TextAnalyzer:
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
                 "n_tokens": n_tokens,
+                "n_bpe_tokens": n_bpe,
                 "n_chars_m": n_chars,
                 "n_punct": n_punct,
                 "pred_lang": pred,
@@ -185,6 +196,7 @@ def langid_sql(table: str = "documents") -> str:
             f"len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), "
             f"x -> x IN ({in_list})))"
         )
+    bpe_sql = BPE_PATTERN.replace("'", "''")
     score_exprs["zh"] = (
         "len(regexp_extract_all(coalesce(text,''), '[\\x{4e00}-\\x{9fff}]'))"
     )
@@ -207,12 +219,14 @@ def langid_sql(table: str = "documents") -> str:
 WITH base AS (
   SELECT doc_id, coalesce(text,'') AS t, {scores_sql},
     len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '')) AS n_tokens,
+    len(regexp_extract_all(coalesce(text,''), '{bpe_sql}')) AS n_bpe_tokens,
     length(coalesce(text,'')) AS n_chars_m,
     len(regexp_extract_all(coalesce(text,''), '{PUNCT_CLASS}')) AS n_punct
   FROM {table}
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
        CAST(n_chars_m AS BIGINT) AS n_chars_m,
        CAST(n_punct AS BIGINT) AS n_punct,
        {case_sql} AS pred_lang,
