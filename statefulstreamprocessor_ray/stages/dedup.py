@@ -325,37 +325,56 @@ def _bucket_pairs(
         before the exchange, so the pair partials (not the raw per-key pair
         explosion) are all that leaves the task.
 
-        In an LSH band / shingle table nearly every key is a SINGLETON, so
-        singleton (and hot) keys are filtered out with vectorized pandas ops
-        FIRST — the per-group Python loop then touches only keys that
-        actually collide (measured 75s -> seconds on a 200k-doc corpus whose
-        3.2M band rows were almost all unique)."""
+        Fully run-length vectorized: one sort by (key, doc_id), run
+        boundaries via shifted compares, then size-2 runs — the DOMINANT
+        shape on a near-dup corpus, where every shared shingle of a clone
+        pair is its own 2-doc key (a 1-GiB corpus with 1% clones has ~4M
+        such keys; a per-key loop was the entire verify cost) — emit their
+        pair in one gather. Only runs of 3+ docs fall back to a per-run
+        triu loop. Singletons and hot keys are filtered before any of it."""
         out_a, out_b = [], []
         out_carry: dict[str, list] = {f"{c}_a": [] for c in carry}
         out_carry.update({f"{c}_b": [] for c in carry})
         key_list = list(keys)
         d = g.drop_duplicates(subset=key_list + ["doc_id"])
-        sizes = d.groupby(key_list, sort=False)["doc_id"].transform("size")
-        if max_df is not None:
-            hot_rows = d[sizes > max_df]
-            # one marker per hot KEY (not per row); sizes carried via inter
-            hot_sizes = (
-                hot_rows.groupby(key_list, sort=False)["doc_id"].size().tolist()
-            )
-            d = d[(sizes >= 2) & (sizes <= max_df)]
-        else:
-            hot_sizes = []
-            d = d[sizes >= 2]
-        for _, sub in d.groupby(key_list, sort=False):
-            sub = sub.sort_values("doc_id")
-            docs = sub["doc_id"].to_numpy()
-            ai, bi = np.triu_indices(len(docs), k=1)
-            out_a.append(docs[ai])
-            out_b.append(docs[bi])
-            for c in carry:
-                vals = sub[c].to_numpy()
-                out_carry[f"{c}_a"].append(vals[ai])
-                out_carry[f"{c}_b"].append(vals[bi])
+        d = d.sort_values(key_list + ["doc_id"], kind="stable")
+        n = len(d)
+        hot_count = 0
+        if n:
+            arrs = [d[k].to_numpy() for k in key_list]
+            new = np.zeros(n, bool)
+            new[0] = True
+            for a in arrs:
+                new[1:] |= a[1:] != a[:-1]
+            run_id = np.cumsum(new) - 1
+            run_len = np.bincount(run_id).astype(np.int64)
+            row_len = run_len[run_id]
+            if max_df is not None:
+                hot_count = int((run_len > max_df).sum())
+                keep = (row_len >= 2) & (row_len <= max_df)
+            else:
+                keep = row_len >= 2
+            docs = d["doc_id"].to_numpy()[keep]
+            carr = {c: d[c].to_numpy()[keep] for c in carry}
+            starts = np.nonzero(new[keep])[0]
+            lens = row_len[keep][starts]
+            # size-2 fast path: within-run doc order is ascending (doc_id
+            # is the sort tiebreaker), so row s is doc_a and s+1 is doc_b
+            s2 = starts[lens == 2]
+            if len(s2):
+                out_a.append(docs[s2])
+                out_b.append(docs[s2 + 1])
+                for c in carry:
+                    out_carry[f"{c}_a"].append(carr[c][s2])
+                    out_carry[f"{c}_b"].append(carr[c][s2 + 1])
+            for s, m in zip(starts[lens > 2], lens[lens > 2]):
+                ai, bi = np.triu_indices(m, k=1)
+                out_a.append(docs[s + ai])
+                out_b.append(docs[s + bi])
+                for c in carry:
+                    out_carry[f"{c}_a"].append(carr[c][s + ai])
+                    out_carry[f"{c}_b"].append(carr[c][s + bi])
+        hot_sizes = [0] * hot_count  # one marker per hot key; values unused
         carry_names = [f"{c}_{s}" for c in carry for s in ("a", "b")]
         if not out_a and not hot_sizes:
             cols = {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
