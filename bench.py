@@ -207,6 +207,16 @@ def bench_corpus_build(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def bench_streaming_corpus(sf_dir: str) -> dict:
+    """Streaming corpus curation (scrub + quality gate + cross-epoch dedup
+    over 3 arrival epochs), incl. the input staging the query performs."""
+    from statefulstreamprocessor_ray.pipelines.queries import q_streaming_corpus
+
+    t0 = time.time()
+    n = q_streaming_corpus(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
 def bench_streaming_windows(sf_dir: str) -> dict:
     """Full streaming session-window job (epochs + watermark gating + EOS
     manifests) over the events table."""
@@ -266,6 +276,7 @@ def run_bench() -> dict:
         "decontaminate": lambda: bench_decontaminate(SF_DIR),
         "relational_join": lambda: bench_join_relational(SF_DIR),
         "corpus_build": lambda: bench_corpus_build(SF_DIR),
+        "streaming_corpus": lambda: bench_streaming_corpus(SF_DIR),
         "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
     }
     results = {}
