@@ -239,7 +239,14 @@ def main() -> None:
                 work_dir=f"{base}/work",
                 out_dir=f"{base}/out",
                 n_shards=32,
-                files_per_epoch=max(1, len(os.listdir(f"{base}/input")) // 8),
+                # ceil over the PARQUET file count so the run lands on
+                # exactly <= 8 epochs (floor division overshoots to 9
+                # whenever the count isn't divisible)
+                files_per_epoch=max(
+                    1,
+                    -(-len([f for f in os.listdir(f"{base}/input")
+                            if f.endswith(".parquet")]) // 8),
+                ),
                 prepare_fn=CurationPrepare(min_tokens=20, max_top_frac=0.5),
                 prepare_tag="probe",
             )

@@ -66,19 +66,16 @@ class CurationPrepare:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import re
-
-        import pandas as pd
-
         from statefulstreamprocessor_ray.stages.curation import (
             repetition_stats_batch,
+            scrub_text_batch,
         )
 
         df = batch.to_pandas()
-        s = df[self.text_col].fillna("")
-        for name, p in self.patterns.items():
-            s = s.str.replace(re.compile(p), f"<{name.upper()}>", regex=True)
-        df = df.assign(**{self.text_col: s})
+        scrubbed = scrub_text_batch(
+            df, self.patterns, text_col=self.text_col, id_col=self.id_col
+        )
+        df = df.assign(**{self.text_col: scrubbed[self.text_col]})
         stats = repetition_stats_batch(
             df, text_col=self.text_col, id_col=self.id_col
         )

@@ -99,7 +99,12 @@ def partition_dedup_input(cfg: StreamingDedupConfig) -> str:
     if os.path.exists(marker):
         with open(marker) as m:
             done = json.load(m)
-        layout_ok = all(done.get(k) == v for k, v in layout.items())
+        # missing prepare_tag in a pre-round-3 marker means "no transform"
+        # — treat as "" so existing non-curated caches stay valid
+        layout_ok = all(
+            done.get(k, "" if k == "prepare_tag" else None) == v
+            for k, v in layout.items()
+        )
         if layout_ok and done["fingerprint"] == fingerprint:
             return part_dir
         if (

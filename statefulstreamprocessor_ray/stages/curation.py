@@ -369,22 +369,38 @@ def scrub_text(
     pats = patterns or SCRUB_PATTERNS
 
     def scrub(batch: pd.DataFrame) -> pd.DataFrame:
-        import re
-
-        s = batch[text_col].fillna("")
-        out = {id_col: np.asarray(batch[id_col], np.int64)}
-        for c in keep_cols:
-            out[c] = batch[c].to_numpy()
-        counts = {}
-        for name, p in pats.items():
-            rx = re.compile(p)  # per-process cache makes this free after one
-            counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
-            s = s.str.replace(rx, f"<{name.upper()}>", regex=True)
-        out[text_col] = s
-        out.update(counts)
-        return pd.DataFrame(out)
+        return scrub_text_batch(
+            batch, pats, text_col=text_col, id_col=id_col, keep_cols=keep_cols
+        )
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+def scrub_text_batch(
+    batch: pd.DataFrame,
+    patterns: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> pd.DataFrame:
+    """One batch of the scrub pass (the body of :func:`scrub_text`) — THE
+    single definition of the scrub semantics (pattern order, fillna
+    placement, ``<NAME>`` token format), shared by the batch operator and
+    the streaming curation prepare so the two cannot drift."""
+    import re
+
+    s = batch[text_col].fillna("")
+    out = {id_col: np.asarray(batch[id_col], np.int64)}
+    for c in keep_cols:
+        out[c] = batch[c].to_numpy()
+    counts = {}
+    for name, p in patterns.items():
+        rx = re.compile(p)  # per-process cache makes this free after one
+        counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
+        s = s.str.replace(rx, f"<{name.upper()}>", regex=True)
+    out[text_col] = s
+    out.update(counts)
+    return pd.DataFrame(out)
 
 
 def repetition_stats_batch(

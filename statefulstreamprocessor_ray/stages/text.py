@@ -40,7 +40,10 @@ class TextAnalyzer:
 
     def __init__(self):
         self.tok = re.compile(r"\s+")
-        self.bpe = re.compile(BPE_PATTERN)
+        # re.ASCII: Python's \s is Unicode-aware but DuckDB RE2's is
+        # ASCII-only — without the flag, NBSP/ideographic spaces fall into
+        # the negated class on one side only and the counts diverge
+        self.bpe = re.compile(BPE_PATTERN, re.ASCII)
         self.punct = re.compile(PUNCT_CLASS)
         self.han = re.compile(r"[一-鿿]")
         self.stop = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
