@@ -77,6 +77,7 @@ def exact_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int | None = None,
+    exchange: str = "hash",
 ) -> pa.Table:
     """Exact-duplicate STAR edges ``(doc_a = keeper = min id, doc_b =
     dropped dup)`` — the scale shape of exact dedup when the output feeds a
@@ -100,17 +101,17 @@ def exact_dup_pairs(
 
     def hash_ids(df: pd.DataFrame) -> pd.DataFrame:
         lo, hi = content_hash128(df[text_col])
-        m = (lo ^ (lo >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        m = (m ^ (m >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        m = m ^ (m >> np.uint64(31))
-        return pd.DataFrame(
-            {
-                "h_lo": lo,
-                "h_hi": hi,
-                id_col: df[id_col].to_numpy(np.int64),
-                "bucket": (m % np.uint64(n_buckets)).astype(np.int32),
-            }
-        )
+        cols = {
+            "h_lo": lo,
+            "h_hi": hi,
+            id_col: df[id_col].to_numpy(np.int64),
+        }
+        if exchange != "hash":  # sort path groups by a coarse mixed bucket
+            m = (lo ^ (lo >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            m = (m ^ (m >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            m = m ^ (m >> np.uint64(31))
+            cols["bucket"] = (m % np.uint64(n_buckets)).astype(np.int32)
+        return pd.DataFrame(cols)
 
     def star_edges(g: pd.DataFrame) -> pd.DataFrame:
         lo = g["h_lo"].to_numpy(np.uint64)
@@ -131,12 +132,27 @@ def exact_dup_pairs(
         first = ids[np.nonzero(new)[0]]
         return pd.DataFrame({"doc_a": first[grp[dup]], "doc_b": ids[dup]})
 
-    edges = (
-        ds.map_batches(hash_ids, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(star_edges, batch_format="pandas")
-        .to_pandas()
-    )
+    if exchange == "hash":
+        from statefulstreamprocessor_ray.stages.exchange import (
+            hash_partitioned_map,
+            hash_shuffle_window,
+        )
+
+        hashed = ds.map_batches(_arrow_wrap(hash_ids), batch_format="pandas")
+        # partition on h_lo alone: star_edges groups by the full (lo, hi)
+        # internally, and every row of a given lo (hence of a given 128-bit
+        # hash) lands in one partition
+        with hash_shuffle_window(ds) as n_parts:
+            edges = hash_partitioned_map(
+                hashed, ["h_lo"], star_edges, n_parts
+            ).to_pandas()
+    else:
+        edges = (
+            ds.map_batches(hash_ids, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(star_edges, batch_format="pandas")
+            .to_pandas()
+        )
     if edges.empty:
         edges = pd.DataFrame(
             {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
@@ -219,16 +235,19 @@ def _batch_shingle_hashes(batch, k: int, text_col: str, id_col: str, hash_fn="si
             h = h * _SHINGLE_C + ht[j : n_win + j]
         parts_doc.append(doc_idx[:n_win][valid])
         parts_h.append(h[valid])
-    # short docs (0 < n < k): one shingle combining all the doc's tokens
+    # short docs (0 < n < k): one shingle combining all the doc's tokens.
+    # Python-int arithmetic masked to 64 bits — identical wraparound to the
+    # uint64 array ops, without numpy's scalar-overflow RuntimeWarning
     short = np.nonzero((n_toks > 0) & (n_toks < k))[0]
     if len(short):
         tok0 = np.concatenate(([0], np.cumsum(n_toks)[:-1]))
         sh = np.empty(len(short), np.uint64)
+        c = int(_SHINGLE_C)
         for i, d in enumerate(short):
-            h = np.uint64(0)
+            h = 0
             for j in range(tok0[d], tok0[d] + n_toks[d]):
-                h = h * _SHINGLE_C + ht[j]
-            sh[i] = h
+                h = (h * c + int(ht[j])) & 0xFFFFFFFFFFFFFFFF
+            sh[i] = np.uint64(h)
         parts_doc.append(short.astype(np.int64))
         parts_h.append(sh)
 
@@ -435,14 +454,22 @@ def _jaccard_pairs_df(
     sh: ray.data.Dataset,
     max_df: int | None = None,
     threshold: float | None = None,
+    exchange: str = "hash",
 ) -> tuple[pd.DataFrame, int]:
     """Shingle rows (doc_id, sh, n) -> exact-Jaccard pair frame
     (doc_a, doc_b, jaccard) plus the hot-shingle skip count.
 
-    Fully distributed reduction: groupby(shingle-bucket) -> pair partials
-    with (n_a, n_b) -> one int-shard group-sum of the partials -> Jaccard +
+    Fully distributed reduction: co-locate each shingle's rows -> pair
+    partials with (n_a, n_b) -> group-sum of the partials -> Jaccard +
     threshold filter IN THE WORKERS. The driver receives only pairs that
-    already pass the threshold (plus the tiny hot-marker rows)."""
+    already pass the threshold (plus the tiny hot-marker rows).
+
+    ``exchange="hash"`` (default, the scale path) runs both exchanges as
+    linear hash repartitions (stages/exchange.py) — no sort anywhere;
+    ``"sort"`` keeps the r3 bucketed sort-shuffle shape (the 20 GiB probe
+    showed the candidate sort going superlinear on one box)."""
+    if exchange == "hash":
+        return _jaccard_pairs_df_hash(sh, max_df=max_df, threshold=threshold)
     from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
 
     add_bucket, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
@@ -454,6 +481,16 @@ def _jaccard_pairs_df(
     summed = sharded_group_sum(
         partials, keys=["doc_a", "doc_b", "n_a", "n_b"], sums={"inter": "inter"}
     )
+
+    out = summed.map_batches(
+        _jac_filter_fn(threshold), batch_format="pandas"
+    ).to_pandas()
+    return _finish_jaccard(out)
+
+
+def _jac_filter_fn(threshold: float | None):
+    """Jaccard + threshold filter over summed pair partials; hot-marker rows
+    always pass so their counts reach the driver."""
 
     def jac_filter(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -478,13 +515,66 @@ def _jaccard_pairs_df(
             }
         )
 
-    out = summed.map_batches(jac_filter, batch_format="pandas").to_pandas()
+    return jac_filter
+
+
+def _finish_jaccard(out: pd.DataFrame) -> tuple[pd.DataFrame, int]:
     if out.empty:
-        out = pd.DataFrame(
-            {c: [] for c in ["doc_a", "doc_b", "jaccard", "inter"]}
-        )
+        out = pd.DataFrame({c: [] for c in ["doc_a", "doc_b", "jaccard", "inter"]})
     out, n_hot = _split_hot_markers(out)
-    return out.drop(columns=["inter"]).astype({"doc_a": np.int64, "doc_b": np.int64}), n_hot
+    return (
+        out.drop(columns=["inter"]).astype({"doc_a": np.int64, "doc_b": np.int64}),
+        n_hot,
+    )
+
+
+def _arrow_wrap(fn):
+    """Emit the pandas fn's output as an Arrow table so downstream hash
+    exchanges carry Arrow blocks (pandas simple blocks spam the aggregators'
+    schema-dedup log and serialize heavier)."""
+
+    def wrapped(df: pd.DataFrame) -> pa.Table:
+        # strip from_pandas' schema metadata: the embedded pandas dict makes
+        # the schema unhashable, defeating Ray's schema dedup (one warning
+        # per aggregator block) and bloating every shard
+        t = pa.Table.from_pandas(fn(df), preserve_index=False)
+        return t.replace_schema_metadata(None)
+
+    return wrapped
+
+
+def _jaccard_pairs_df_hash(
+    sh: ray.data.Dataset,
+    max_df: int | None = None,
+    threshold: float | None = None,
+) -> tuple[pd.DataFrame, int]:
+    """Hash-exchange body of :func:`_jaccard_pairs_df`: repartition by the
+    shingle hash itself (each partition fully contains its shingles, so
+    ``max_df`` keeps exact global semantics), emit pre-aggregated pair
+    partials per partition, then ONE more hash exchange group-sums the
+    partials by pair. Both exchanges are linear — no sort anywhere."""
+    from statefulstreamprocessor_ray.stages.exchange import (
+        hash_partitioned_map,
+        hash_shuffle_window,
+    )
+
+    _, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
+    sum_keys = ["doc_a", "doc_b", "n_a", "n_b"]
+
+    def group_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(sum_keys, sort=False, as_index=False)["inter"].sum()
+
+    with hash_shuffle_window(sh) as n_parts:
+        partials = hash_partitioned_map(
+            sh, ["sh"], _arrow_wrap(pairs_in_bucket), n_parts
+        )
+        summed = hash_partitioned_map(
+            partials, sum_keys, _arrow_wrap(group_sum), n_parts
+        )
+        out = summed.map_batches(
+            _jac_filter_fn(threshold), batch_format="pandas"
+        ).to_pandas()
+    return _finish_jaccard(out)
 
 
 def _pairs_table(rows: pd.DataFrame, value_col: str, value_type, n_hot: int) -> pa.Table:
@@ -506,6 +596,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    exchange: str = "hash",
 ) -> pa.Table:
     """Exact n-gram-Jaccard duplicate pairs: (doc_a, doc_b, jaccard >= t).
 
@@ -513,13 +604,18 @@ def ngram_jaccard_pairs(
     shrink at each step. Candidate generation is complete because
     J(a,b) > 0 implies a shared shingle. ``max_df`` (optional) caps hot
     shingles — see module docstring for the exact semantics.
+    ``exchange``: "hash" (linear hash repartition, default) or "sort".
     """
     # plain-function stage (tasks): ShingleStage's init is trivial, so an
-    # actor pool only adds startup latency
+    # actor pool only adds startup latency; Arrow output keeps the shingle
+    # exchange Arrow-native
     sh = ds.map_batches(
-        ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
+        _arrow_wrap(ShingleStage(k=k, text_col=text_col, id_col=id_col)),
+        batch_format="pandas",
     )
-    pairs, n_hot = _jaccard_pairs_df(sh, max_df=max_df, threshold=threshold)
+    pairs, n_hot = _jaccard_pairs_df(
+        sh, max_df=max_df, threshold=threshold, exchange=exchange
+    )
     return _pairs_table(pairs, "jaccard", pa.float64(), n_hot)
 
 
@@ -534,11 +630,21 @@ def _minhash_params(n_perm: int, seed: int = 7):
     return a, b
 
 
+_BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
 class MinHashStage:
-    """map_batches actor: doc -> (doc_id, band_id, band_hash) LSH bucket rows.
+    """map_batches actor: doc -> (doc_id, band_key) LSH bucket rows.
 
     Signature: n_perm universal-hash permutations over 64-bit shingle hashes;
     bands of r rows hashed to a bucket key. Deterministic given (n_perm, seed).
+
+    The band index is FOLDED into the band hash (one mixed uint64 key instead
+    of (band_id, band_hash)): two docs share a ``band_key`` iff they agree on
+    the same band's hash — identical candidate semantics, and the candidate
+    exchange carries exactly (band_key: uint64, doc_id: int64) per row, the
+    narrowest possible band table (the r3 volume run showed the exchange
+    width, not the map, dominating above ~5 GiB).
     """
 
     def __init__(
@@ -563,6 +669,27 @@ class MinHashStage:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
+    @staticmethod
+    def _fold_band_keys(h: np.ndarray) -> np.ndarray:
+        """(…, bands) raw band hashes -> folded uint64 band keys: XOR a
+        per-band salt ((band_id+1) * golden-ratio constant), then a full
+        splitmix64 finalize so equal hashes in DIFFERENT bands never share a
+        key (beyond the ~2^-64 collision rate the hash already has)."""
+        bands = h.shape[-1]
+        bid = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * _BAND_SALT
+        k = h ^ bid
+        k = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        k = (k ^ (k >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return k ^ (k >> np.uint64(31))
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """Folded band keys of one signature (tests / streaming dedup)."""
+        band = sig.reshape(self.bands, self.r)
+        h = np.zeros(self.bands, np.uint64)
+        for j in range(self.r):
+            h = h * np.uint64(1_000_003) + band[:, j]
+        return self._fold_band_keys(h[None, :])[0]
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids_rep, counts, flat = _batch_shingle_hashes(
             batch, self.k, self.text_col, self.id_col, self.hash_fn
@@ -572,8 +699,7 @@ class MinHashStage:
             return pd.DataFrame(
                 {
                     "doc_id": np.array([], np.int64),
-                    "band_id": np.array([], np.int32),
-                    "band_hash": np.array([], np.uint64),
+                    "band_key": np.array([], np.uint64),
                 }
             )
         # per-doc segment boundaries into the flat hash array
@@ -586,7 +712,8 @@ class MinHashStage:
         for p in range(self.n_perm):
             vals = (flat * self.a[p] + self.b[p]) % MERSENNE
             sig[:, p] = np.minimum.reduceat(vals, starts)
-        # band hashes: polynomial combine of each band's r rows, vectorized
+        # band hashes: polynomial combine of each band's r rows, vectorized,
+        # then the band index folded in -> one uint64 key per (doc, band)
         band = sig.reshape(n_docs, self.bands, self.r)
         h = np.zeros((n_docs, self.bands), np.uint64)
         for j in range(self.r):
@@ -594,8 +721,7 @@ class MinHashStage:
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(ids, self.bands),
-                "band_id": np.tile(np.arange(self.bands, dtype=np.int32), n_docs),
-                "band_hash": h.reshape(-1),
+                "band_key": self._fold_band_keys(h).reshape(-1),
             }
         )
 
@@ -609,29 +735,53 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    exchange: str = "hash",
 ) -> pa.Table:
     """Near-dup candidate pairs via banded MinHash LSH, verified with exact
     Jaccard (so false positives are filtered; recall is probabilistic).
 
     Fully distributed: banding runs in map_batches, candidate pairs come out
-    of the bucketed groupby, and the exact-Jaccard verify re-shingles ONLY
-    docs that appear in some candidate pair — inside map_batches, via a
-    broadcast candidate-id filter. The driver holds the candidate-pair set
-    (O(duplicates)) and never the corpus. ``max_df`` caps hot band buckets.
+    of a band-key co-location exchange, and the exact-Jaccard verify
+    re-shingles ONLY docs that appear in some candidate pair — inside
+    map_batches, via a broadcast candidate-id filter. The driver holds the
+    candidate-pair set (O(duplicates)) and never the corpus. ``max_df`` caps
+    hot band buckets.
+
+    ``exchange="hash"`` (default) repartitions the (band_key, doc_id) table
+    by band_key — a linear hash exchange of the narrowest possible band
+    table, replacing the r3 sort-shuffle whose sort went superlinear above
+    ~5 GiB on one box (763 s of the 1,113 s 20 GiB run); ``"sort"`` keeps
+    that shape for comparison.
     """
     import ray as _ray
 
     buckets = ds.map_batches(
-        MinHashStage(n_perm=n_perm, bands=bands, k=k, text_col=text_col, id_col=id_col),
+        _arrow_wrap(
+            MinHashStage(
+                n_perm=n_perm, bands=bands, k=k, text_col=text_col, id_col=id_col
+            )
+        ),
         batch_format="pandas",
     )
-    add_bucket, pairs_in_bucket = _bucket_pairs(["band_id", "band_hash"], max_df=max_df)
-    cand_df = (
-        buckets.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    if exchange == "hash":
+        from statefulstreamprocessor_ray.stages.exchange import (
+            hash_partitioned_map,
+            hash_shuffle_window,
+        )
+
+        _, pairs_in_bucket = _bucket_pairs(["band_key"], max_df=max_df)
+        with hash_shuffle_window(ds) as n_parts:
+            cand_df = hash_partitioned_map(
+                buckets, ["band_key"], pairs_in_bucket, n_parts
+            ).to_pandas()
+    else:
+        add_bucket, pairs_in_bucket = _bucket_pairs(["band_key"], max_df=max_df)
+        cand_df = (
+            buckets.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas")
+            .to_pandas()
+        )
     cand_df, n_hot = _split_hot_markers(cand_df)
     if cand_df.empty:
         cand_df = pd.DataFrame({"doc_a": [], "doc_b": []})
@@ -655,11 +805,12 @@ def minhash_lsh_pairs(
     sh = ds.select_columns([id_col, text_col]).map_batches(
         keep_candidates, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
-        ShingleStage(k=k, text_col=text_col, id_col=id_col), batch_format="pandas"
+        _arrow_wrap(ShingleStage(k=k, text_col=text_col, id_col=id_col)),
+        batch_format="pandas",
     )
     # threshold pushed into the workers: only above-threshold pairs (among
     # the restricted candidate docs) ever reach the driver
-    jac_df, _ = _jaccard_pairs_df(sh, threshold=threshold)
+    jac_df, _ = _jaccard_pairs_df(sh, threshold=threshold, exchange=exchange)
     merged = cand_df.merge(jac_df, on=["doc_a", "doc_b"], how="inner")
     merged = merged[merged["jaccard"] >= threshold].copy()
     merged["jaccard_r"] = merged["jaccard"].round(6)
@@ -741,6 +892,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     hash_fn: str = "sip",
     max_df: int | None = None,
+    exchange: str = "hash",
 ) -> pa.Table:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
@@ -822,14 +974,33 @@ def simhash_pairs(
 
     # verify runs in the workers; the driver only drop-duplicates the
     # verified pair set across bands and counts hot-key markers
-    verified = (
-        sims.map_batches(band_rows, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .map_batches(hamming_verify, batch_format="pandas")
-        .to_pandas()
-    )
+    if exchange == "hash":
+        from statefulstreamprocessor_ray.stages.exchange import (
+            hash_partitioned_map,
+            hash_shuffle_window,
+        )
+
+        band_table = sims.map_batches(_arrow_wrap(band_rows), batch_format="pandas")
+        with hash_shuffle_window(ds) as n_parts:
+            verified = (
+                hash_partitioned_map(
+                    band_table,
+                    ["band", "key16"],
+                    _arrow_wrap(pairs_in_bucket),
+                    n_parts,
+                )
+                .map_batches(hamming_verify, batch_format="pandas")
+                .to_pandas()
+            )
+    else:
+        verified = (
+            sims.map_batches(band_rows, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas")
+            .map_batches(hamming_verify, batch_format="pandas")
+            .to_pandas()
+        )
     verified, n_hot = _split_hot_markers(verified)
     if verified.empty:
         # zero pairs anywhere -> Ray hands back a COLUMN-LESS empty frame

@@ -1,0 +1,108 @@
+"""Contract tests for the hash-exchange primitives (stages/exchange.py).
+
+``hash_partitioned_map`` is only correct if EVERY row of a key lands in
+exactly one fn invocation — i.e. Ray's hash shuffle emits one block per
+partition and the keyed repartition co-locates keys. These tests pin that
+contract so a Ray upgrade that starts splitting partition blocks (the
+"TODO break down blocks" in hash_shuffle.py) fails loudly here instead of
+silently dropping dedup pairs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+from ray.data.context import ShuffleStrategy
+
+from statefulstreamprocessor_ray.stages.exchange import (
+    default_hash_partitions,
+    hash_partitioned_map,
+    hash_shuffle_window,
+)
+
+
+def _keyed_frame(n_rows=40000, n_keys=300, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_rows).astype(np.uint64),
+            "val": rng.integers(0, 1000, n_rows).astype(np.int64),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keys_complete_in_exactly_one_call():
+    df = _keyed_frame()
+    ds = ray.data.from_pandas(df)
+
+    def per_call_key_counts(g: pd.DataFrame) -> pa.Table:
+        vc = g.groupby("key", sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "key": pa.array(vc["key"].to_numpy(np.uint64), pa.uint64()),
+                "n": pa.array(vc["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    with hash_shuffle_window(ds) as n_parts:
+        out = hash_partitioned_map(
+            ds, ["key"], per_call_key_counts, n_parts
+        ).to_pandas()
+    # each key appears in exactly ONE call, with ALL its rows
+    assert out["key"].is_unique
+    want = df.groupby("key").size()
+    got = out.set_index("key")["n"].sort_index()
+    assert (got == want.sort_index()).all()
+    assert out["n"].sum() == len(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_restores_context():
+    ds = ray.data.from_pandas(_keyed_frame(1000, 10))
+    ctx = ds.context
+    before = (
+        ctx.shuffle_strategy,
+        ctx.max_hash_shuffle_aggregators,
+        ctx.default_hash_shuffle_parallelism,
+    )
+    with hash_shuffle_window(ds):
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    after = (
+        ctx.shuffle_strategy,
+        ctx.max_hash_shuffle_aggregators,
+        ctx.default_hash_shuffle_parallelism,
+    )
+    assert after == before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chained_exchanges_one_window():
+    """Two back-to-back keyed exchanges (the Jaccard partial->group-sum
+    shape) inside one window, on the session's small CPU count — pins that
+    the bounded aggregator sizing does not deadlock a small cluster."""
+    df = _keyed_frame(20000, 120, seed=5)
+    ds = ray.data.from_pandas(df)
+
+    def partial(g: pd.DataFrame) -> pa.Table:
+        vc = g.groupby("key", sort=False, as_index=False)["val"].sum()
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        vc = g.groupby("key", sort=False, as_index=False)["val"].sum()
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    with hash_shuffle_window(ds) as n_parts:
+        p = hash_partitioned_map(ds, ["key"], partial, n_parts)
+        out = hash_partitioned_map(p, ["key"], final, n_parts).to_pandas()
+    want = df.groupby("key")["val"].sum()
+    got = out.set_index("key")["val"].sort_index()
+    assert (got == want.sort_index()).all()
+
+
+def test_default_partitions_bounded():
+    assert default_hash_partitions(7) == 7
+    n = default_hash_partitions(None)
+    assert n >= 16

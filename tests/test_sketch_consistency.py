@@ -32,12 +32,10 @@ def test_minhash_batch_matches_single_doc(texts):
         if sig is None:
             assert got.empty
             continue
-        # recompute band hashes from the scalar signature
-        band = sig.reshape(stage.bands, stage.r)
-        h = np.zeros(stage.bands, np.uint64)
-        for j in range(stage.r):
-            h = h * np.uint64(1_000_003) + band[:, j]
-        assert list(got.sort_values("band_id")["band_hash"]) == list(h)
+        # recompute folded band keys from the scalar signature: the batch
+        # path emits ONE mixed uint64 key per (doc, band)
+        want = stage.band_keys(sig)
+        assert sorted(got["band_key"].tolist()) == sorted(want.tolist())
 
 
 @settings(max_examples=30, deadline=None)
