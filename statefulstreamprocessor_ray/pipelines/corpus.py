@@ -26,6 +26,8 @@ a stale copy would silently double downstream rows).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -149,8 +151,27 @@ def corpus_build(
     if checkpoint_dir is not None:
         import shutil
 
+        # refuse to wipe a directory this pipeline did not create: a
+        # mistyped --work path would otherwise be destroyed silently
+        # (ADVICE r3); a sentinel from a prior run marks the dir ours
+        sentinel = os.path.join(checkpoint_dir, "_ssp_corpus_checkpoint")
+        if (
+            os.path.isdir(checkpoint_dir)
+            and os.listdir(checkpoint_dir)
+            and not os.path.exists(sentinel)
+        ):
+            raise ValueError(
+                f"corpus_build: checkpoint_dir {checkpoint_dir!r} is non-empty "
+                "and was not written by a prior corpus_build run (no "
+                "_ssp_corpus_checkpoint sentinel); refusing to delete it — "
+                "pass an empty or corpus-build-owned directory"
+            )
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
         kept.write_parquet(checkpoint_dir)
+        with open(sentinel, "w") as f:
+            f.write("corpus_build filtered-corpus checkpoint\n")
+        # underscore-prefixed files (the sentinel) are skipped by Ray's
+        # default file filter, like Spark/Hadoop _SUCCESS markers
         kept = ray.data.read_parquet(checkpoint_dir)
     else:
         kept = kept.materialize()

@@ -697,7 +697,12 @@ def q_ngram_jaccard(sf_dir):
 
 
 def q_text_stats(sf_dir):
-    return analyze_text(_documents(sf_dir, columns=["doc_id", "text"]))
+    """fingerprint_mode="md5" pins the oracle-reproducible fingerprint
+    (DuckDB md5()); the default "sip" mode (vectorized content_hash128 hex,
+    the corpus-scale path) is differential-tested in test_extensions.py."""
+    return analyze_text(
+        _documents(sf_dir, columns=["doc_id", "text"]), fingerprint_mode="md5"
+    )
 
 
 def q_multimodal_decode(sf_dir):

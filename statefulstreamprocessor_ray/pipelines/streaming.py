@@ -128,12 +128,13 @@ def _provenance_read(
     write blowup the non-provenance path bounds."""
     import ray.data
 
-    items = []
-    for f in files:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def file_items(f: str) -> list[dict]:
         md = pq.ParquetFile(f).metadata
-        off = 0
+        out, off = [], 0
         for rg in range(md.num_row_groups):
-            items.append(
+            out.append(
                 {
                     "path": f,
                     "file_idx": file_idx_of[f],
@@ -142,6 +143,12 @@ def _provenance_read(
                 }
             )
             off += md.row_group(rg).num_rows
+        return out
+
+    # footer scans are tiny metadata reads but latency-bound: a serial loop
+    # over thousands of bulk-ingest files stalls the driver (ADVICE r3)
+    with ThreadPoolExecutor(max_workers=min(16, max(4, len(files)))) as ex:
+        items = [it for sub in ex.map(file_items, files) for it in sub]
 
     def read_rg(batch: pd.DataFrame) -> pa.Table:
         parts = []
@@ -268,9 +275,16 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
         if next_epoch is None:  # marker predates n_epochs: derive from files
             next_epoch = (len(done["fingerprint"]) + fpe - 1) // fpe
         n_groups = (len(new_files) + fpe - 1) // fpe
+        # bounded block count also in the per-group path: without it,
+        # provenance mode emits one block per row group and the hive write
+        # re-blows blocks x (shard, epoch) partitions (ADVICE r3)
+        try:
+            grp_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            grp_blocks = 64
         for g in range(n_groups):
             group = new_files[g * fpe : (g + 1) * fpe]
-            ds = read_files(group).map_batches(
+            ds = read_files(group, n_blocks=grp_blocks).map_batches(
                 lambda b, fe=next_epoch + g: tag_and_partition(b, fe),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -304,9 +318,13 @@ def partition_input(cfg: StreamingJoinConfig) -> str:
         return part_dir
     if cfg.epoch_by == "arrival":
         # one epoch per input-file group, in arrival order
+        try:
+            grp_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            grp_blocks = 64
         for e in range(0, (len(files) + cfg.files_per_epoch - 1) // cfg.files_per_epoch):
             group = files[e * cfg.files_per_epoch : (e + 1) * cfg.files_per_epoch]
-            ds = read_files(group).map_batches(
+            ds = read_files(group, n_blocks=grp_blocks).map_batches(
                 lambda b, fe=e: tag_and_partition(b, fe),
                 batch_format="pyarrow",
                 zero_copy_batch=True,

@@ -229,11 +229,19 @@ class DedupShardActor:
             return -1
         if committed_epochs is not None and sorted(found) != sorted(committed_epochs):
             return -1  # missing/extra deltas: state would diverge from output
+        from statefulstreamprocessor_ray.stages.dedup import CONTENT_HASH_SCHEME
+
         lo_parts, hi_parts = [], []
         for e in sorted(found):
             snap = self.ckpt.load(self.shard_id, e)
             if "delta_lo" not in snap:
                 return -1  # pre-delta-format snapshot: clean resume-abort
+            # digests from a different hash scheme (e.g. a pandas upgrade
+            # changed hash_array) would silently stop matching new batches
+            # and re-emit every previously-seen duplicate: abort the resume
+            # and re-dedup from scratch instead (ADVICE r3)
+            if str(snap.get("scheme", "")) != CONTENT_HASH_SCHEME:
+                return -1
             lo_parts.append(snap["delta_lo"])
             hi_parts.append(snap["delta_hi"])
         self.seen_lo = np.concatenate(lo_parts)
@@ -284,9 +292,19 @@ class DedupShardActor:
             delta_lo = np.array([], np.uint64)
             delta_hi = np.array([], np.uint64)
         part = sink.stage_part(epoch, f"shard{self.shard_id:04d}", out)
-        # delta checkpoint: this epoch's new digests only (see restore())
+        # delta checkpoint: this epoch's new digests only (see restore());
+        # the hash-scheme tag makes a silent digest-scheme drift (pandas
+        # upgrade) a clean resume-abort instead of re-emitted duplicates
+        from statefulstreamprocessor_ray.stages.dedup import CONTENT_HASH_SCHEME
+
         self.ckpt.save(
-            self.shard_id, epoch, {"delta_lo": delta_lo, "delta_hi": delta_hi}
+            self.shard_id,
+            epoch,
+            {
+                "delta_lo": delta_lo,
+                "delta_hi": delta_hi,
+                "scheme": CONTENT_HASH_SCHEME,
+            },
         )
         part["shard"] = self.shard_id
         part["n_seen"] = int(len(self.seen_lo))

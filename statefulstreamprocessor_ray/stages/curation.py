@@ -222,10 +222,17 @@ def chunk_documents(
         gstart = doc_tok0[doc_of_chunk] + tok_start
         out_first = np.concatenate(([0], np.cumsum(tok_len)[:-1]))
         total_out = int(tok_len.sum())
+        # list<string> needs int32 offsets (binary_join has no large_list
+        # kernel); an .astype(np.int32) past 2^31 would WRAP silently and
+        # corrupt chunk_text, so fail loudly instead (ADVICE r3) — callers
+        # hit this only with batch_size far above any sane setting
+        if total_out >= 2**31:
+            raise ValueError(
+                f"chunk_documents: batch gathers {total_out} tokens, over the "
+                "int32 list-offset limit — reduce map_batches batch_size"
+            )
         pos = np.arange(total_out)
         gather = np.repeat(gstart - out_first, tok_len) + pos
-        # list<string> (int32 offsets): binary_join has no large_list kernel;
-        # a batch's token count is far below 2^31
         la = pa.ListArray.from_arrays(
             pa.array(np.concatenate((out_first, [total_out])).astype(np.int32)),
             pa.array(flat[gather], pa.string()),

@@ -46,6 +46,14 @@ from ray.data.aggregate import Count, Min
 
 MERSENNE = (1 << 61) - 1
 
+# Identity of the content_hash128 scheme, INCLUDING the pandas version:
+# hash_array is pandas-internal SipHash, so a pandas upgrade could silently
+# change digests. Persistent state that stores digests (streaming-dedup
+# delta checkpoints) stamps this tag and aborts restore on mismatch —
+# re-deduping an epoch from scratch is correct, comparing digests from two
+# different hash functions is not (ADVICE r3).
+CONTENT_HASH_SCHEME = f"siphash128/v1/pandas={pd.__version__}"
+
 
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
@@ -138,14 +146,22 @@ def exact_dup_pairs(
             hash_shuffle_window,
         )
 
-        hashed = ds.map_batches(_arrow_wrap(hash_ids), batch_format="pandas")
+        from statefulstreamprocessor_ray.stages.exchange import (
+            sized_hash_partitions,
+        )
+
+        hashed = ds.map_batches(
+            _arrow_wrap(hash_ids), batch_format="pandas"
+        ).materialize()
+        n_parts = sized_hash_partitions(hashed.size_bytes())
         # partition on h_lo alone: star_edges groups by the full (lo, hi)
         # internally, and every row of a given lo (hence of a given 128-bit
         # hash) lands in one partition
-        with hash_shuffle_window(ds) as n_parts:
+        with hash_shuffle_window(hashed, n_parts):
             edges = hash_partitioned_map(
                 hashed, ["h_lo"], star_edges, n_parts
             ).to_pandas()
+        del hashed
     else:
         edges = (
             ds.map_batches(hash_ids, batch_format="pandas")
@@ -455,6 +471,7 @@ def _jaccard_pairs_df(
     max_df: int | None = None,
     threshold: float | None = None,
     exchange: str = "hash",
+    num_partitions: int | None = None,
 ) -> tuple[pd.DataFrame, int]:
     """Shingle rows (doc_id, sh, n) -> exact-Jaccard pair frame
     (doc_a, doc_b, jaccard) plus the hot-shingle skip count.
@@ -469,7 +486,9 @@ def _jaccard_pairs_df(
     ``"sort"`` keeps the r3 bucketed sort-shuffle shape (the 20 GiB probe
     showed the candidate sort going superlinear on one box)."""
     if exchange == "hash":
-        return _jaccard_pairs_df_hash(sh, max_df=max_df, threshold=threshold)
+        return _jaccard_pairs_df_hash(
+            sh, max_df=max_df, threshold=threshold, num_partitions=num_partitions
+        )
     from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
 
     add_bucket, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
@@ -547,6 +566,7 @@ def _jaccard_pairs_df_hash(
     sh: ray.data.Dataset,
     max_df: int | None = None,
     threshold: float | None = None,
+    num_partitions: int | None = None,
 ) -> tuple[pd.DataFrame, int]:
     """Hash-exchange body of :func:`_jaccard_pairs_df`: repartition by the
     shingle hash itself (each partition fully contains its shingles, so
@@ -556,6 +576,7 @@ def _jaccard_pairs_df_hash(
     from statefulstreamprocessor_ray.stages.exchange import (
         hash_partitioned_map,
         hash_shuffle_window,
+        sized_hash_partitions,
     )
 
     _, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
@@ -564,16 +585,33 @@ def _jaccard_pairs_df_hash(
     def group_sum(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(sum_keys, sort=False, as_index=False)["inter"].sum()
 
-    with hash_shuffle_window(sh) as n_parts:
+    # each exchange sizes its partitions by the MEASURED payload: the shingle
+    # table is O(corpus tokens), the pair partials usually orders of
+    # magnitude smaller — one fixed count would starve one or tax the other.
+    # An EXPLICIT num_partitions skips the sizing materializes entirely —
+    # callers pass it when they already know the scale (e.g. the minhash
+    # verify over a known-small candidate set; each barrier costs ~0.3 s)
+    if num_partitions is None:
+        sh_in = sh.materialize()
+        n1 = sized_hash_partitions(sh_in.size_bytes())
+    else:
+        sh_in, n1 = sh, num_partitions
+    with hash_shuffle_window(sh_in, n1):
         partials = hash_partitioned_map(
-            sh, ["sh"], _arrow_wrap(pairs_in_bucket), n_parts
+            sh_in, ["sh"], _arrow_wrap(pairs_in_bucket), n1
         )
+        if num_partitions is None:
+            partials = partials.materialize()
+            n2 = sized_hash_partitions(partials.size_bytes())
+        else:
+            n2 = num_partitions
         summed = hash_partitioned_map(
-            partials, sum_keys, _arrow_wrap(group_sum), n_parts
+            partials, sum_keys, _arrow_wrap(group_sum), n2
         )
         out = summed.map_batches(
             _jac_filter_fn(threshold), batch_format="pandas"
         ).to_pandas()
+    del sh_in, partials
     return _finish_jaccard(out)
 
 
@@ -769,11 +807,20 @@ def minhash_lsh_pairs(
             hash_shuffle_window,
         )
 
+        from statefulstreamprocessor_ray.stages.exchange import (
+            sized_hash_partitions,
+        )
+
         _, pairs_in_bucket = _bucket_pairs(["band_key"], max_df=max_df)
-        with hash_shuffle_window(ds) as n_parts:
+        # materialize the band table (the shuffle barrier needs it resident
+        # anyway) so the partition count scales with its MEASURED size
+        band_mat = buckets.materialize()
+        n_parts = sized_hash_partitions(band_mat.size_bytes())
+        with hash_shuffle_window(band_mat, n_parts):
             cand_df = hash_partitioned_map(
-                buckets, ["band_key"], pairs_in_bucket, n_parts
+                band_mat, ["band_key"], pairs_in_bucket, n_parts
             ).to_pandas()
+        del band_mat
     else:
         add_bucket, pairs_in_bucket = _bucket_pairs(["band_key"], max_df=max_df)
         cand_df = (
@@ -809,8 +856,22 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     )
     # threshold pushed into the workers: only above-threshold pairs (among
-    # the restricted candidate docs) ever reach the driver
-    jac_df, _ = _jaccard_pairs_df(sh, threshold=threshold, exchange=exchange)
+    # the restricted candidate docs) ever reach the driver. The verify
+    # exchanges size their partitions by the KNOWN candidate-doc count —
+    # the candidate set is usually a tiny fraction of the corpus, and each
+    # hash partition costs ~80 ms fixed (see stages/exchange.py)
+    verify_parts = None
+    if exchange == "hash":
+        from statefulstreamprocessor_ray.stages.exchange import (
+            default_hash_partitions,
+        )
+
+        verify_parts = max(
+            8, min(default_hash_partitions(None), len(cand_ids) // 20_000 + 1)
+        )
+    jac_df, _ = _jaccard_pairs_df(
+        sh, threshold=threshold, exchange=exchange, num_partitions=verify_parts
+    )
     merged = cand_df.merge(jac_df, on=["doc_a", "doc_b"], how="inner")
     merged = merged[merged["jaccard"] >= threshold].copy()
     merged["jaccard_r"] = merged["jaccard"].round(6)
@@ -980,11 +1041,18 @@ def simhash_pairs(
             hash_shuffle_window,
         )
 
-        band_table = sims.map_batches(_arrow_wrap(band_rows), batch_format="pandas")
-        with hash_shuffle_window(ds) as n_parts:
+        from statefulstreamprocessor_ray.stages.exchange import (
+            sized_hash_partitions,
+        )
+
+        band_mat = sims.map_batches(
+            _arrow_wrap(band_rows), batch_format="pandas"
+        ).materialize()
+        n_parts = sized_hash_partitions(band_mat.size_bytes())
+        with hash_shuffle_window(band_mat, n_parts):
             verified = (
                 hash_partitioned_map(
-                    band_table,
+                    band_mat,
                     ["band", "key16"],
                     _arrow_wrap(pairs_in_bucket),
                     n_parts,
@@ -992,6 +1060,7 @@ def simhash_pairs(
                 .map_batches(hamming_verify, batch_format="pandas")
                 .to_pandas()
             )
+        del band_mat
     else:
         verified = (
             sims.map_batches(band_rows, batch_format="pandas")
@@ -1074,7 +1143,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    mode: str | None = None,
+    mode: str = "exact",
     n_list: int | None = None,
     n_assign: int = 2,
     train_sample: int = 65536,
@@ -1083,9 +1152,16 @@ def embedding_dup_pairs(
 ) -> pa.Table:
     """Pairs with cosine similarity >= threshold over a list<float> column.
 
-    ``mode=None`` auto-routes: true near-dup thresholds (>= 0.9) take the
-    IVF scale path; lower thresholds (where bucketing cannot be complete)
-    take exact all-pairs. Pass a mode explicitly to override.
+    ``mode="exact"`` is the DEFAULT: it returns every qualifying pair at any
+    threshold (ADVICE r3: the r3 auto-default silently routed >= 0.9
+    thresholds to IVF, whose ``n_assign``-nearest-list assignment does not
+    guarantee a shared list for every pair — callers relying on the old
+    exact default could lose pairs). The approximate scale path requires an
+    explicit opt-in: ``mode="ivf"``, or ``mode="auto"`` which routes
+    >= 0.9 thresholds to IVF and the rest to exact. IVF recall is
+    probabilistic — near-identical vectors share a nearest list with
+    overwhelming probability (asserted >= 0.999 on the injected-clone corpus
+    in test_shard_vectorized_ops.py) but it is NOT exhaustive.
 
     - ``mode="exact"``: all-pairs, distributed — the corpus's pruned blocks
       are materialized to the object store and the normalized matrix is
@@ -1110,7 +1186,7 @@ def embedding_dup_pairs(
 
     import ray as _ray
 
-    if mode is None:
+    if mode == "auto":
         mode = "ivf" if threshold >= 0.9 else "exact"
     sel = ds.select_columns([id_col, vec_col])
 

@@ -52,15 +52,42 @@ def _cluster_cpus() -> int:
 
 
 def default_hash_partitions(num_partitions: int | None = None) -> int:
-    """Partition count for hash exchanges: 2x cluster CPUs, min 16.
+    """Partition count for hash exchanges: half the cluster CPUs, min 16.
 
-    Each partition costs ~1/16 CPU of aggregator reservation, so 2x CPUs
-    keeps the shuffle's standing actor reservation at ~12% of the cluster —
-    enough partitions for balance and per-partition memory bounds, small
-    enough that aggregators schedule alongside the producing map tasks."""
+    Measured on 32 CPUs at sf0.1: the exchange pays a ~80 ms fixed cost PER
+    PARTITION (shard-submission RPCs + per-partition finalize + downstream
+    task), linear in the partition count and independent of the aggregator
+    count — 16 partitions ran the same candidate phase in 1.8 s that 64
+    partitions ran in 5.2 s and 128 in 10.2 s. Partitions only need to (a)
+    give every aggregator work and (b) bound per-partition finalize memory,
+    so the default scales with cluster size, not a fixed multiple of it;
+    callers with known-huge inputs pass a larger count explicitly."""
     if num_partitions is not None:
         return num_partitions
-    return max(16, _cluster_cpus() * 2)
+    return max(16, _cluster_cpus() // 2)
+
+
+TARGET_PARTITION_BYTES = 32 << 20  # ~32 MB/partition: the 5 GiB sweep's optimum
+
+
+def sized_hash_partitions(size_bytes: int | None) -> int:
+    """Partition count from the MEASURED exchange payload size.
+
+    The 5 GiB candidate-phase sweep (32 CPUs, 1.9 GB band table):
+    16 partitions 125 s, 64 partitions 64 s, 128 partitions 77 s, 256
+    partitions 140 s — too few starves parallel finalize and blows up the
+    in-partition sorts, too many drowns in the ~80-100 ms/partition fixed
+    cost. ~32 MB per partition sits at the optimum and keeps per-partition
+    finalize memory flat as data grows. Callers ``materialize()`` the table
+    feeding the exchange (it must be fully resident for the shuffle barrier
+    anyway) and pass its ``size_bytes()``."""
+    cpus = _cluster_cpus()
+    lo = max(16, cpus // 2)
+    hi = cpus * 16
+    if not size_bytes:
+        return lo
+    need = -(-int(size_bytes) // TARGET_PARTITION_BYTES)
+    return int(min(hi, max(lo, need)))
 
 
 @contextmanager
@@ -85,7 +112,10 @@ def hash_shuffle_window(
         ctx.default_hash_shuffle_parallelism,
     )
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    # aggregators scale with the partition count (volume sweep: 16 aggs beat
+    # 8 on a 64-partition 1.9 GB exchange; on a 16-partition small one, extra
+    # actors only add spin-up) but never reserve more than half the cluster
+    ctx.max_hash_shuffle_aggregators = max(2, min(cpus // 2, n // 4))
     ctx.default_hash_shuffle_parallelism = n
     try:
         yield n

@@ -220,10 +220,20 @@ def ordered_join_events(
     delta_us = int(delta_time * 1_000_000) if delta_time else None
 
     if hot_key_threshold is not None:
+        # the > threshold filter runs IN the Dataset, so the driver frame
+        # holds only the hot tail (O(hot keys)), never every key's count
         counts = (
-            events.select_columns([key_col]).groupby(key_col).count().to_pandas()
+            events.select_columns([key_col])
+            .groupby(key_col)
+            .count()
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["count()"], hot_key_threshold)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
         )
-        hot = set(counts.loc[counts["count()"] > hot_key_threshold, key_col])
+        hot = set(counts[key_col]) if len(counts) else set()
         if hot:
             def in_hot(b: pa.Table, keep: bool) -> pa.Table:
                 mask = pc.is_in(b[key_col], value_set=pa.array(sorted(hot)))

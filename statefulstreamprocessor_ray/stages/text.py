@@ -35,18 +35,55 @@ PUNCT_CLASS = r"[.!?,;:]"
 BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
 
 
-class TextAnalyzer:
-    """map_batches actor: per-document text statistics + langid + fingerprint."""
+def _hex128(texts: pd.Series) -> np.ndarray:
+    """Vectorized 32-hex-char fingerprints from content_hash128 (the repo's
+    canonical 128-bit SipHash identity): two hash_array calls, one hexlify of
+    the big-endian byte buffer, one reinterpret to fixed-width strings — no
+    per-row Python. The scale-path pendant of the md5 oracle mode."""
+    import binascii
 
-    def __init__(self):
-        self.tok = re.compile(r"\s+")
+    from statefulstreamprocessor_ray.stages.dedup import content_hash128
+
+    lo, hi = content_hash128(texts)
+
+    def hex_col(a: np.ndarray) -> np.ndarray:
+        buf = binascii.hexlify(np.ascontiguousarray(a.astype(">u8")).tobytes())
+        return np.frombuffer(buf, dtype="S16").astype("U16")
+
+    return np.char.add(hex_col(lo), hex_col(hi))
+
+
+class TextAnalyzer:
+    """map_batches actor: per-document text statistics + langid + fingerprint.
+
+    Everything is computed by C-looped pandas ``str.count`` regex passes —
+    no token explode, no per-row lambdas: token membership tests use
+    whitespace-lookaround alternations (``(?<!\\S)(?:w1|w2|…)(?!\\S)`` counts
+    exactly the tokens equal to a stopword, including adjacent matches), and
+    token counts use ``\\S+``, which equals len(split-and-drop-empties) by
+    construction.
+
+    ``fingerprint_mode``: "sip" (default, vectorized content_hash128 hex —
+    the corpus-scale path) or "md5" (per-row hashlib, DuckDB ``md5()``
+    reproducible — the oracle mode)."""
+
+    def __init__(self, fingerprint_mode: str = "sip"):
+        if fingerprint_mode not in ("sip", "md5"):
+            raise ValueError("fingerprint_mode must be 'sip' or 'md5'")
+        self.fingerprint_mode = fingerprint_mode
+        self.tok = re.compile(r"\S+")
         # re.ASCII: Python's \s is Unicode-aware but DuckDB RE2's is
         # ASCII-only — without the flag, NBSP/ideographic spaces fall into
         # the negated class on one side only and the counts diverge
         self.bpe = re.compile(BPE_PATTERN, re.ASCII)
         self.punct = re.compile(PUNCT_CLASS)
         self.han = re.compile(r"[一-鿿]")
-        self.stop = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
+        self.stop_res = {
+            lang: re.compile(
+                r"(?<!\S)(?:" + "|".join(map(re.escape, words)) + r")(?!\S)"
+            )
+            for lang, words in LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:  # .str accessor rejects dtype-less empty columns
@@ -63,26 +100,9 @@ class TextAnalyzer:
                 }
             )
         texts = batch["text"].fillna("")
-        # explode the batch's tokens once; all per-language scores are then
-        # one np.isin + one reduceat each (no per-row Python in the loop)
-        toks = texts.str.lower().str.split(self.tok)
-        toks = toks.map(lambda ws: [w for w in ws if w])
-        counts = toks.map(len).to_numpy(np.int64)
-        flat = np.asarray(
-            [w for ws in toks for w in ws], dtype=object
-        )
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        nonzero = counts > 0
+        lowered = texts.str.lower()
 
-        def seg_sum(mask: np.ndarray) -> np.ndarray:
-            out = np.zeros(len(counts), np.int64)
-            if mask.size and nonzero.any():
-                out[nonzero] = np.add.reduceat(
-                    mask.astype(np.int64), starts[nonzero]
-                )
-            return out
-
-        n_tokens = counts
+        n_tokens = lowered.str.count(self.tok).to_numpy(np.int64)
         n_chars = texts.str.len().to_numpy(np.int64)
         n_bpe = texts.str.count(self.bpe).to_numpy(np.int64)
         n_punct = texts.str.count(PUNCT_CLASS).to_numpy(np.int64)
@@ -93,7 +113,7 @@ class TextAnalyzer:
                 score_cols.append(texts.str.count(self.han).to_numpy(np.int64))
             else:
                 score_cols.append(
-                    seg_sum(np.isin(flat, list(self.stop[lang])))
+                    lowered.str.count(self.stop_res[lang]).to_numpy(np.int64)
                 )
         score_mat = np.column_stack(score_cols)
         pred = np.array(LANG_ORDER)[np.argmax(score_mat, axis=1)]  # ties -> order
@@ -105,6 +125,11 @@ class TextAnalyzer:
             + ((n_chars >= 20) & (n_chars <= 20000)).astype(np.int64)
         )
 
+        if self.fingerprint_mode == "md5":
+            fps = texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        else:
+            fps = _hex128(texts)
+
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
@@ -114,21 +139,23 @@ class TextAnalyzer:
                 "n_punct": n_punct,
                 "pred_lang": pred,
                 "quality": q,
-                "fingerprint": texts.map(
-                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
-                ),
+                "fingerprint": fps,
             }
         )
         return out
 
 
 def analyze_text(
-    ds: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4096
+    ds: ray.data.Dataset,
+    concurrency: int = 2,
+    batch_size: int = 4096,
+    fingerprint_mode: str = "sip",
 ) -> ray.data.Dataset:
     # concurrency x num_cpus must leave CPUs for the read/write stages —
     # an actor pool that reserves every core starves its own producers.
     return ds.map_batches(
         TextAnalyzer,
+        fn_constructor_kwargs={"fingerprint_mode": fingerprint_mode},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

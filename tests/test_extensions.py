@@ -124,3 +124,37 @@ def test_winnowing_fingerprints():
     )
     fp = winnowing_fingerprints(ds).to_pandas()
     assert fp.doc_id.nunique() == 500 and len(fp) > 10_000
+
+
+def test_text_analyzer_modes_agree_and_sip_is_vectorized():
+    """The sip fingerprint mode (vectorized content_hash128 hex) must agree
+    with the md5 oracle mode on every NON-fingerprint column, byte-for-byte;
+    sip fingerprints must be 32 lowercase hex chars, deterministic, and
+    distinct exactly when texts are distinct."""
+    import pandas as pd
+
+    from statefulstreamprocessor_ray.stages.text import TextAnalyzer
+
+    texts = [
+        "the quick brown fox",
+        "le chat et la souris",
+        "",
+        None,
+        "a a a the the of, of; of!",
+        "一二三 the",
+        "x" * 50,
+        "the quick brown fox",  # exact dup of row 0
+    ]
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    sip = TextAnalyzer(fingerprint_mode="sip")(batch)
+    md5 = TextAnalyzer(fingerprint_mode="md5")(batch)
+    stat_cols = [c for c in sip.columns if c != "fingerprint"]
+    pd.testing.assert_frame_equal(sip[stat_cols], md5[stat_cols])
+    fp = sip["fingerprint"]
+    assert fp.str.fullmatch(r"[0-9a-f]{32}").all()
+    assert fp.iloc[0] == fp.iloc[7]          # identical text, identical fp
+    assert fp.iloc[2] == fp.iloc[3]          # "" and None normalize together
+    assert fp.drop([3, 7]).is_unique         # distinct texts stay distinct
+    # determinism across instances (checkpointable identity)
+    again = TextAnalyzer(fingerprint_mode="sip")(batch)["fingerprint"]
+    assert (again == fp).all()

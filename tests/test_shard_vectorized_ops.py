@@ -257,14 +257,16 @@ def test_embedding_dup_exact_does_not_materialize_corpus_on_driver(ray_session):
 
 
 def test_embedding_dup_auto_mode_routing(ray_session):
-    """mode=None routes >=0.9 thresholds to ivf (scale path), <0.9 to exact
-    — exact all-pairs at near-dup thresholds is an explicit opt-in."""
+    """The DEFAULT is exact at every threshold (ADVICE r3: the approximate
+    IVF path must be an explicit opt-in — it can lose pairs). mode='auto'
+    routes >=0.9 thresholds to ivf (scale path), <0.9 to exact."""
     rng = np.random.default_rng(3)
     base = rng.standard_normal((64, 16)).astype(np.float32)
     base[1] = base[0] + rng.standard_normal(16).astype(np.float32) * 1e-3
     df = pd.DataFrame(
         {"vec_id": np.arange(64, dtype=np.int64), "embedding": list(base)}
     )
+    # default = exact, both thresholds
     hi = dedup.embedding_dup_pairs(
         ray.data.from_pandas(df), threshold=0.99
     ).to_pandas()
@@ -273,6 +275,11 @@ def test_embedding_dup_auto_mode_routing(ray_session):
         ray.data.from_pandas(df), threshold=0.4
     ).to_pandas()
     assert (0, 1) in set(zip(lo.vec_a, lo.vec_b))
+    # auto opt-in still finds the injected clone via the ivf route
+    auto_hi = dedup.embedding_dup_pairs(
+        ray.data.from_pandas(df), threshold=0.99, mode="auto", n_list=8, seed=23
+    ).to_pandas()
+    assert (0, 1) in set(zip(auto_hi.vec_a, auto_hi.vec_b))
 
 
 def test_dedup_paths_zero_match_inputs(ray_session):
