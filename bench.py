@@ -217,6 +217,42 @@ def bench_streaming_corpus(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def bench_streaming_minhash(sf_dir: str) -> dict:
+    """Streaming NEAR-dup dedup (cross-epoch LSH band state, exactly-once),
+    3 arrival epochs over documents, incl. the query's input staging.
+    Uses the default sip shingle hash (the scale path), not the oracle's md5."""
+    import shutil
+
+    from statefulstreamprocessor_ray.pipelines.queries import _workspace
+    from statefulstreamprocessor_ray.pipelines.streaming_minhash import (
+        StreamingMinHashConfig,
+        StreamingMinHashJob,
+    )
+
+    import os
+
+    import pyarrow.parquet as pq_
+
+    base = _workspace("bench_sminhash", "docs", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq_.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    t0 = time.time()
+    stats = StreamingMinHashJob(
+        StreamingMinHashConfig(
+            input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out",
+            n_shards=8,
+        )
+    ).run()
+    return {"sec": time.time() - t0, "rows": stats["rows_emitted"]}
+
+
 def bench_streaming_windows(sf_dir: str) -> dict:
     """Full streaming session-window job (epochs + watermark gating + EOS
     manifests) over the events table."""
@@ -277,6 +313,7 @@ def run_bench() -> dict:
         "relational_join": lambda: bench_join_relational(SF_DIR),
         "corpus_build": lambda: bench_corpus_build(SF_DIR),
         "streaming_corpus": lambda: bench_streaming_corpus(SF_DIR),
+        "streaming_minhash": lambda: bench_streaming_minhash(SF_DIR),
         "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
     }
     results = {}

@@ -115,7 +115,24 @@ def main() -> None:
     dd.add_argument("--min-tokens", type=int, default=20)
     dd.add_argument("--max-top-frac", type=float, default=0.125)
 
-    for p in (b, s, w, cp, dd, cb):
+    mh = sub.add_parser(
+        "minhash",
+        help="streaming NEAR-dup dedup: cross-epoch LSH band state, "
+        "exactly-once emission (pipelines/streaming_minhash)",
+    )
+    mh.add_argument("--input", required=True, help="documents parquet dir")
+    mh.add_argument("--work", required=True)
+    mh.add_argument("--out", required=True)
+    mh.add_argument("--shards", type=int, default=4)
+    mh.add_argument("--files-per-epoch", type=int, default=1)
+    mh.add_argument("--id-col", default="doc_id")
+    mh.add_argument("--text-col", default="text")
+    mh.add_argument("--max-epochs", type=int, default=None)
+    mh.add_argument("--n-perm", type=int, default=64)
+    mh.add_argument("--bands", type=int, default=16)
+    mh.add_argument("--k", type=int, default=3)
+
+    for p in (b, s, w, cp, dd, cb, mh):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -200,6 +217,26 @@ def main() -> None:
         )
         stats = StreamingDedupJob(dcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "dedup", **stats}))
+    elif args.mode == "minhash":
+        from statefulstreamprocessor_ray.pipelines.streaming_minhash import (
+            StreamingMinHashConfig,
+            StreamingMinHashJob,
+        )
+
+        mcfg = StreamingMinHashConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            n_perm=args.n_perm,
+            bands=args.bands,
+            k=args.k,
+        )
+        stats = StreamingMinHashJob(mcfg).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "minhash", **stats}))
     elif args.mode == "corpus":
         import os
 

@@ -533,6 +533,53 @@ def q_streaming_dedup(sf_dir):
     )
 
 
+def q_streaming_minhash(sf_dir):
+    """Streaming NEAR-dup dedup (VERDICT r3 #3): the documents corpus
+    replayed as 3 doc_id-ordered arrival epochs through StreamingMinHashJob
+    — per-shard LSH band-key state across epochs, exactly-once manifests. A
+    doc is emitted iff no earlier doc (any earlier epoch, or smaller id in
+    the same epoch) shares a minhash band; id-ordered epochs collapse
+    'earlier' to 'smaller doc_id', and hash_fn='md5' makes the WHOLE sketch
+    (shingle md5s, wrap-around universal hashes, band polynomials)
+    reproducible in DuckDB — the oracle recomputes it bit-for-bit
+    (streaming_minhash_oracle_sql). n_perm=32/bands=8 keeps the oracle's
+    64M-row sig CTE tractable at sf0.01."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from statefulstreamprocessor_ray.pipelines.streaming_minhash import (
+        StreamingMinHashConfig,
+        StreamingMinHashJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("sminhash", "docs", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq_.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingMinHashConfig(
+        input_path=inp,
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=4,
+        n_perm=32,
+        bands=8,
+        hash_fn="md5",
+    )
+    StreamingMinHashJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["doc_id", "text"]
+    )
+
+
 def q_streaming_corpus(sf_dir):
     """Streaming corpus curation: the documents corpus replayed as 3 arrival
     epochs through StreamingDedupJob with a CurationPrepare phase-0
@@ -931,6 +978,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "render_conversations": q_render_conversations,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_minhash": q_streaming_minhash,
     "scrub_text": q_scrub_text,
     "repetition_stats": q_repetition_stats,
     "doc_embedding_join": q_doc_embedding_join,
@@ -1788,6 +1836,17 @@ ORACLE_SQL["streaming_dedup"] = """
 SELECT doc_id, text FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
+
+# streaming_minhash: the ENTIRE LSH sketch recomputed in SQL — md5 shingle
+# hashes, numpy-uint64-wraparound universal hashes (HUGEINT split multiplies),
+# band polynomials — then 'no earlier doc shares a band'; id-ordered epochs
+# collapse the (epoch, id) order to doc_id order. Generated from the same
+# constants the engine uses (single source of truth).
+from statefulstreamprocessor_ray.pipelines.streaming_minhash import (
+    streaming_minhash_oracle_sql as _sm_oracle,
+)
+
+ORACLE_SQL["streaming_minhash"] = _sm_oracle(n_perm=32, bands=8, k=3, seed=7)
 
 # streaming_corpus: scrub (same regex chain as scrub_text) + quality gate
 # (corpus_build thresholds) applied BEFORE the cross-epoch first-occurrence

@@ -1,0 +1,186 @@
+"""Streaming NEAR-dup dedup (pipelines/streaming_minhash): cross-epoch LSH
+band state, exactly-once emission, SQL-oracle band parity."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from statefulstreamprocessor_ray.pipelines.streaming_minhash import (
+    StreamingMinHashConfig,
+    StreamingMinHashJob,
+    minhash_bands_sql,
+)
+from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+
+def _write_epochs(inp, epochs):
+    os.makedirs(inp, exist_ok=True)
+    for i, rows in enumerate(epochs):
+        df = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": np.int64}
+        )
+        df.to_parquet(f"{inp}/part-{i:03d}.parquet", index=False)
+
+
+def _doc(seed, n=60):
+    rng = np.random.default_rng(seed)
+    words = [f"w{seed}x{int(v)}" for v in rng.integers(0, 5000, n)]
+    return " ".join(words)
+
+
+def _edit(text, seed):
+    """Word-edit clone: swap ONE token — shingle Jaccard ~0.9 (3 of ~58
+    3-gram shingles change), the near-dup exact content hashing provably
+    passes through, with band-match probability ~1-3e-4 per clone at
+    (n_perm=32, bands=8, r=4); seeds are fixed, so the test is
+    deterministic once green."""
+    toks = text.split()
+    rng = np.random.default_rng(seed)
+    i = int(rng.integers(0, len(toks)))
+    toks[i] = f"edit{seed}x{i}"
+    return " ".join(toks)
+
+
+def test_band_sql_matches_engine_bit_for_bit():
+    import duckdb
+
+    from statefulstreamprocessor_ray.stages.dedup import (
+        MinHashStage,
+        _batch_shingle_hashes,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        "one two",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    stage = MinHashStage(n_perm=32, bands=8, k=3, hash_fn="md5", seed=7)
+    _, counts, flat = _batch_shingle_hashes(df, 3, "text", "doc_id", "md5")
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    eng = {}
+    for i in range(len(texts)):
+        if counts[i] == 0:
+            continue
+        sh = flat[starts[i] : starts[i] + counts[i]]
+        vals = (sh[None, :] * stage.a[:, None] + stage.b[:, None]) % np.uint64(
+            (1 << 61) - 1
+        )
+        band = vals.min(axis=1).reshape(8, 4)
+        h = np.zeros(8, np.uint64)
+        for j in range(4):
+            h = h * np.uint64(1_000_003) + band[:, j]
+        eng[i] = {(b, int(h[b])) for b in range(8)}
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (
+        minhash_bands_sql(32, 8, 3, 7)
+        + "\nSELECT doc_id, band_id, CAST(bv AS UBIGINT) AS bv FROM bandv"
+    )
+    tbl = con.execute(sql).arrow()
+    got = {}
+    for d, b, v in zip(
+        tbl["doc_id"].to_pylist(), tbl["band_id"].to_pylist(), tbl["bv"].to_pylist()
+    ):
+        got.setdefault(int(d), set()).add((int(b), int(v)))
+    assert set(eng) == set(got)
+    for d in eng:
+        assert eng[d] == got[d]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cross_epoch_near_dups_dropped_and_exact_dedup_passes_them(tmp_path):
+    """The r2/r3 gap case: epoch-1 docs reappear in epoch 2 as WORD-EDIT
+    clones. Exact streaming dedup provably emits them (content differs);
+    the minhash job must drop them while keeping genuinely new docs."""
+    base = str(tmp_path)
+    originals = [(i, _doc(i)) for i in range(8)]
+    clones = [(100 + i, _edit(t, 50 + i)) for i, t in originals[:5]]
+    fresh = [(200 + i, _doc(1000 + i)) for i in range(4)]
+    _write_epochs(f"{base}/input", [originals, clones + fresh])
+
+    # exact streaming dedup emits every clone (the gap this job closes)
+    from statefulstreamprocessor_ray.pipelines.streaming_dedup import (
+        StreamingDedupConfig,
+        StreamingDedupJob,
+    )
+
+    ecfg = StreamingDedupConfig(
+        input_path=f"{base}/input",
+        work_dir=f"{base}/ework",
+        out_dir=f"{base}/eout",
+        n_shards=2,
+    )
+    StreamingDedupJob(ecfg).run()
+    exact_ids = set(
+        ExactlyOnceParquetSink(f"{base}/eout")
+        .read_committed()
+        .to_pandas()["doc_id"]
+    )
+    assert {100 + i for i in range(5)} <= exact_ids  # clones pass exact dedup
+
+    cfg = StreamingMinHashConfig(
+        input_path=f"{base}/input",
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=2,
+        n_perm=32,
+        bands=8,
+    )
+    stats = StreamingMinHashJob(cfg).run()
+    out = ExactlyOnceParquetSink(f"{base}/out").read_committed().to_pandas()
+    ids = set(out["doc_id"])
+    assert {i for i, _ in originals} <= ids
+    assert {i for i, _ in fresh} <= ids
+    assert not ids & {100 + i for i in range(5)}  # near-dup clones dropped
+    assert stats["rows_dropped"] == 5
+
+    # second run over committed input: zero new rows (exactly-once)
+    stats2 = StreamingMinHashJob(cfg).run()
+    assert stats2["rows_emitted"] == 0 and stats2["epochs_processed"] == 0
+
+    # follow-the-tail append: a new file with one clone-of-epoch-1 and one
+    # fresh doc emits exactly the fresh doc
+    tail = [(300, _edit(originals[6][1], 99)), (301, _doc(7777))]
+    _write_epochs(f"{base}/tail", [tail])
+    os.replace(f"{base}/tail/part-000.parquet", f"{base}/input/part-090.parquet")
+    stats3 = StreamingMinHashJob(cfg).run()
+    out3 = ExactlyOnceParquetSink(f"{base}/out").read_committed().to_pandas()
+    assert stats3["rows_emitted"] == 1
+    assert 301 in set(out3["doc_id"]) and 300 not in set(out3["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scheme_mismatch_aborts_resume(tmp_path):
+    """Band-key state from different sketch knobs (or a changed hash scheme)
+    must abort the resume instead of comparing incompatible keys."""
+    base = str(tmp_path)
+    _write_epochs(f"{base}/input", [[(0, _doc(1))], [(1, _doc(2))]])
+    cfg = StreamingMinHashConfig(
+        input_path=f"{base}/input",
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=2,
+        n_perm=32,
+        bands=8,
+    )
+    StreamingMinHashJob(cfg).run()
+    cfg2 = StreamingMinHashConfig(
+        input_path=f"{base}/input",
+        work_dir=f"{base}/work",
+        out_dir=f"{base}/out",
+        n_shards=2,
+        n_perm=32,
+        bands=4,  # different banding -> incompatible checkpointed keys
+    )
+    # a third epoch forces actual resume work
+    _write_epochs(f"{base}/more", [[(2, _doc(3))]])
+    os.replace(f"{base}/more/part-000.parquet", f"{base}/input/part-050.parquet")
+    with pytest.raises(RuntimeError, match="resume aborted"):
+        StreamingMinHashJob(cfg2).run()
