@@ -130,8 +130,10 @@ def partitioned_join(
     import ray as _ray
 
     right_on = right_on or left_on
-    if how not in ("inner", "left"):
-        raise ValueError("partitioned_join supports how='inner'|'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            "partitioned_join supports how='inner'|'left'|'semi'|'anti'"
+        )
 
     if n_shards is None:
         try:
@@ -194,11 +196,25 @@ def partitioned_join(
 
     joined = left.join(
         right,
-        join_type={"inner": "inner", "left": "left_outer"}[how],
+        join_type={
+            "inner": "inner",
+            "left": "left_outer",
+            # semi/anti: filter the left side by right-key (non-)existence —
+            # the decontaminate/dedup-apply shape when both sides are large
+            # (vs the broadcast drop-set used when the filter side is small)
+            "semi": "left_semi",
+            "anti": "left_anti",
+        }[how],
         num_partitions=n_shards,
         on=(left_on,),
         right_on=(right_on,),
     )
+    if how in ("semi", "anti"):  # left columns only, no rebuild needed
+        return joined.map_batches(
+            lambda b: b.select(left_cols),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     # pandas-merge column order: left cols, then right cols; the right key
     # column appears only when the two sides name their keys differently

@@ -184,12 +184,14 @@ class WinnowingFingerprints:
         if n < self.k:
             return np.zeros(0, dtype=np.uint64)
         # rolling polynomial hash over all k-windows (vectorized via cumulative
-        # powers; values kept in uint64 with natural wraparound — deterministic)
-        pows = np.ones(self.k, dtype=np.uint64)
-        for i in range(1, self.k):
-            pows[i] = pows[i - 1] * self.BASE
-        windows = np.lib.stride_tricks.sliding_window_view(data, self.k).astype(np.uint64)
-        hashes = (windows * pows[::-1]).sum(axis=1)
+        # powers; values kept in uint64 with natural wraparound — deterministic,
+        # so the overflow is intentional: silence it explicitly)
+        with np.errstate(over="ignore"):
+            pows = np.ones(self.k, dtype=np.uint64)
+            for i in range(1, self.k):
+                pows[i] = pows[i - 1] * self.BASE
+            windows = np.lib.stride_tricks.sliding_window_view(data, self.k).astype(np.uint64)
+            hashes = (windows * pows[::-1]).sum(axis=1)
         if len(hashes) < self.w:
             return np.unique(hashes[[np.argmin(hashes)]])
         wins = np.lib.stride_tricks.sliding_window_view(hashes, self.w)

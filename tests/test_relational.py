@@ -155,3 +155,30 @@ def test_partitioned_join_null_keys_follow_sql_semantics():
     matched = lj[lj["k"].notna() & (lj["k"] == 1)]
     assert matched["rval"].tolist() == [0]
     assert lj[lj["k"].isna()]["rval"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_join_semi_anti():
+    """semi = left rows whose key exists on the right (left columns only,
+    no duplication on multi-matches); anti = the complement; null keys match
+    nothing (SQL semantics) so they survive only the anti join."""
+    import pyarrow as pa
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 2, 3, None], pa.int64()),
+            "lval": pa.array(np.arange(5, dtype=np.int64)),
+        }
+    )
+    right = pa.table({"rk": pa.array([2, 2, 9, None], pa.int64())})
+    semi = relational.partitioned_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_on="k", right_on="rk", how="semi", n_shards=3,
+    ).to_pandas()
+    assert semi.columns.tolist() == ["k", "lval"]
+    assert sorted(semi["lval"].tolist()) == [1, 2]  # both k=2 rows, once each
+    anti = relational.partitioned_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_on="k", right_on="rk", how="anti", n_shards=3,
+    ).to_pandas()
+    assert sorted(anti["lval"].tolist()) == [0, 3, 4]  # incl. the null key
