@@ -470,6 +470,45 @@ def q_doc_embedding_join(sf_dir):
     ).sort("doc_id")
 
 
+def q_semi_join(sf_dir):
+    """Distributed semi join (EXISTS): documents that HAVE a label%3==0
+    embedding — left columns only, no duplication on multi-matches. Same
+    one-co-shuffle exchange as the equi-join, but each shard runs Acero's
+    left_semi so only key presence rides back (no right columns built)."""
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "source"])
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "label"])
+    emb = emb.map_batches(
+        lambda t: t.filter(
+            pa.array(t["label"].to_numpy(zero_copy_only=False) % 3 == 0)
+        ).select(["vec_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = relational.partitioned_join(
+        docs, emb, left_on="doc_id", right_on="vec_id", how="semi"
+    )
+    return out.sort("doc_id")
+
+
+def q_anti_join(sf_dir):
+    """Distributed anti join (NOT EXISTS): documents MISSING a label%3==0
+    embedding — the decontamination / orphan-detection primitive when both
+    sides are too large to broadcast."""
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "source"])
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "label"])
+    emb = emb.map_batches(
+        lambda t: t.filter(
+            pa.array(t["label"].to_numpy(zero_copy_only=False) % 3 == 0)
+        ).select(["vec_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = relational.partitioned_join(
+        docs, emb, left_on="doc_id", right_on="vec_id", how="anti"
+    )
+    return out.sort("doc_id")
+
+
 def q_chunk_documents(sf_dir):
     """Overlapping token-window chunking (context-window prep): 1->N explode
     in map_batches, no shuffle; 40-token windows with 8-token overlap over
@@ -982,6 +1021,8 @@ QUERIES = {
     "scrub_text": q_scrub_text,
     "repetition_stats": q_repetition_stats,
     "doc_embedding_join": q_doc_embedding_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
     "multimodal_decode": q_multimodal_decode,
@@ -1752,6 +1793,22 @@ WHERE d.source <> 'src0'
 ORACLE_SQL["doc_embedding_join"] = """
 SELECT d.doc_id, d.lang, d.source, CAST(e.label AS INTEGER) AS label
 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+"""
+
+ORACLE_SQL["semi_join"] = """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM embeddings e
+              WHERE e.vec_id = d.doc_id AND e.label % 3 = 0)
+ORDER BY d.doc_id
+"""
+
+ORACLE_SQL["anti_join"] = """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                  WHERE e.vec_id = d.doc_id AND e.label % 3 = 0)
+ORDER BY d.doc_id
 """
 
 # chunk_documents: same tokenization (whitespace split, no lowercase), chunk

@@ -96,6 +96,70 @@ def _common_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
 
 
 _RMATCH = "_ssp_rmatch"  # right-side match marker (left joins, distinct key names)
+_LSENT = "_ssp_lsent"  # left-side sentinel marker (left/anti joins only)
+
+
+def _null_key_sentinel(
+    names: list[str], types: dict[str, pa.DataType], key: str, key_type: pa.DataType
+) -> pa.Table:
+    """One all-null row with a side's exact block schema (key already cast).
+    Ray's hash-shuffle join drops zero-row blocks, so a side with NO rows at
+    all reaches the Acero aggregator schema-less and the key FieldRef fails
+    ('No match ... for key field reference'). Unioning one sentinel row onto
+    each side keeps every aggregator schema-aware; a null join key matches
+    NOTHING under Acero's SQL semantics, so the sentinel can never join."""
+    return pa.table(
+        {n: pa.nulls(1, key_type if n == key else types[n]) for n in names}
+    )
+
+
+_SCHEMA_BROADCAST_PATCHED = False
+
+
+def _ensure_schema_broadcast_patch() -> None:
+    """Fix a Ray 2.49 hash-shuffle-join race: the operator grants the schema
+    broadcast (``send_empty_blocks``) only to the FIRST submitted block of
+    each side (``hash_shuffle.py:548,589``), but ``_shuffle_block``
+    short-circuits on a zero-row block BEFORE fanning schema-carrying
+    empties to the aggregators — so a zero-row first block (an aggressive
+    upstream filter, an empty input) permanently eats the one-shot broadcast
+    and every aggregator whose partition received no rows from that side
+    finalizes a schema-less table, failing Acero's key FieldRef ('No match
+    ... for key field reference'). The patch restores the flag when a bundle
+    carried no rows, so the first block that CAN broadcast schemas does.
+    Guarded: any future Ray that removes these internals leaves the original
+    behavior (the null-key sentinel below still covers the empty-side case
+    whenever the sentinel block happens to be submitted first)."""
+    global _SCHEMA_BROADCAST_PATCHED
+    if _SCHEMA_BROADCAST_PATCHED:
+        return
+    _SCHEMA_BROADCAST_PATCHED = True
+    try:
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase as _Op,
+        )
+
+        orig = _Op._do_add_input_inner
+        if getattr(orig, "_ssp_schema_broadcast_fix", False):
+            return
+
+        def patched(self, input_bundle, input_index):
+            flags = getattr(self, "_has_schemas_broadcasted", None)
+            was = flags[input_index] if flags is not None else True
+            orig(self, input_bundle, input_index)
+            if (
+                flags is not None
+                and not was
+                and not any(
+                    (m.num_rows or 0) > 0 for m in input_bundle.metadata
+                )
+            ):
+                flags[input_index] = False
+
+        patched._ssp_schema_broadcast_fix = True
+        _Op._do_add_input_inner = patched
+    except Exception:
+        pass
 
 
 def partitioned_join(
@@ -159,6 +223,11 @@ def partitioned_join(
         raise ValueError(
             f"partitioned_join: rename overlapping non-key columns {sorted(overlap)}"
         )
+    reserved = {_RMATCH, _LSENT} & (set(left_cols) | set(right_cols))
+    if reserved:
+        raise ValueError(
+            f"partitioned_join: column names {sorted(reserved)} are reserved"
+        )
 
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
@@ -194,6 +263,30 @@ def partitioned_join(
             zero_copy_batch=True,
         )
 
+    # Empty-side guard (see _null_key_sentinel): right sentinels are never
+    # emitted by inner/left/semi/anti, so the right union is free. Left
+    # sentinels WOULD surface in left/anti output (SQL emits null-key left
+    # rows), so those two modes carry a 1-byte marker — 0 on real rows, 1 on
+    # the sentinel — filtered after the join (same cost class as _RMATCH).
+    mark_left = how in ("left", "anti")
+    if mark_left:
+        left = left.map_batches(
+            lambda b: b.append_column(
+                _LSENT, pa.array(np.zeros(b.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    l_sent = _null_key_sentinel(left_cols, l_types, left_on, key_type)
+    if mark_left:
+        l_sent = l_sent.append_column(_LSENT, pa.array([1], pa.int8()))
+    r_sent = _null_key_sentinel(right_cols, r_types, right_on, key_type)
+    if need_rkey and how == "left":
+        r_sent = r_sent.append_column(_RMATCH, pa.array([1], pa.int8()))
+    _ensure_schema_broadcast_patch()
+    left = left.union(ray.data.from_arrow(l_sent))
+    right = right.union(ray.data.from_arrow(r_sent))
+
     joined = left.join(
         right,
         join_type={
@@ -210,10 +303,13 @@ def partitioned_join(
         right_on=(right_on,),
     )
     if how in ("semi", "anti"):  # left columns only, no rebuild needed
+        def trim(b: pa.Table) -> pa.Table:
+            if mark_left:  # drop the anti-mode sentinel row
+                b = b.filter(pc.equal(b[_LSENT], 0))
+            return b.select(left_cols)
+
         return joined.map_batches(
-            lambda b: b.select(left_cols),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            trim, batch_format="pyarrow", zero_copy_batch=True
         )
 
     # pandas-merge column order: left cols, then right cols; the right key
@@ -223,6 +319,8 @@ def partitioned_join(
     )
 
     def project(b: pa.Table) -> pa.Table:
+        if mark_left:  # drop the left-join-mode sentinel row
+            b = b.filter(pc.equal(b[_LSENT], 0))
         if need_rkey:
             key = b[left_on]
             if not key.type.equals(key_type):

@@ -182,3 +182,42 @@ def test_partitioned_join_semi_anti():
         left_on="k", right_on="rk", how="anti", n_shards=3,
     ).to_pandas()
     assert sorted(anti["lval"].tolist()) == [0, 3, 4]  # incl. the null key
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["semi", "anti", "inner", "left"])
+def test_partitioned_join_empty_sides(how):
+    """An entirely empty side must not kill the join: Ray's hash-shuffle join
+    grants the aggregator schema broadcast only to the first submitted block
+    and a zero-row first block used to eat it (schema-less partitions ->
+    Acero FieldRef error). Guarded by the null-key sentinel union + the
+    send_empty_blocks flag patch in relational.py."""
+    import pyarrow as pa
+
+    full_l = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "lval": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    full_r = pa.table({"rk": pa.array([2, 3, 4], pa.int64())})
+    empty_l = full_l.slice(0, 0)
+    empty_r = full_r.slice(0, 0)
+
+    def run(lt, rt):
+        return relational.partitioned_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            left_on="k", right_on="rk", how=how, n_shards=3,
+        ).to_pandas()
+
+    # empty right: semi/inner -> nothing, anti -> all left, left -> all left
+    er = run(full_l, empty_r)
+    assert len(er) == {"semi": 0, "inner": 0, "anti": 3, "left": 3}[how]
+    if how == "anti":
+        assert sorted(er["lval"].tolist()) == [10, 20, 30]
+    if how == "left":
+        assert er["rk"].isna().all()
+
+    # empty left / both empty: always zero rows
+    assert len(run(empty_l, full_r)) == 0
+    assert len(run(empty_l, empty_r)) == 0
