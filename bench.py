@@ -133,78 +133,75 @@ def bench_streaming(tpath: str, tag: str) -> dict:
     return min(runs, key=lambda r: r["sec"])
 
 
+def _best2(query_fn, sf_dir: str) -> dict:
+    """min-of-2 for the single-shot query benches — the same discipline
+    bench_flagship/bench_streaming already use. Single cold shots swing
+    2x run-to-run on this box (object-store mmap + THP collapse + actor
+    spin-up all land on whichever query runs first); the min of two
+    back-to-back runs is the number that reproduces."""
+    dt, n = 1e18, 0
+    for _ in range(2):
+        t0 = time.time()
+        out = query_fn(sf_dir)
+        n = out.num_rows if hasattr(out, "num_rows") else out.count()
+        dt = min(dt, time.time() - t0)
+    return {"sec": dt, "rows": n}
+
+
 def bench_windowed(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_windowed_join
 
-    t0 = time.time()
-    n = q_windowed_join(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_windowed_join, sf_dir)
 
 
 def bench_sliding_agg(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_sliding_agg
 
-    t0 = time.time()
-    n = q_sliding_agg(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_sliding_agg, sf_dir)
 
 
 def bench_dedup(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_minhash_lsh
 
-    t0 = time.time()
-    n = q_minhash_lsh(sf_dir).num_rows
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_minhash_lsh, sf_dir)
 
 
 def bench_text(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_text_stats
 
-    t0 = time.time()
-    n = q_text_stats(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_text_stats, sf_dir)
 
 
 def bench_ann(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_ann_topk
 
-    t0 = time.time()
-    n = q_ann_topk(sf_dir).num_rows
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_ann_topk, sf_dir)
 
 
 def bench_decontaminate(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_decontaminate
 
-    t0 = time.time()
-    n = q_decontaminate(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_decontaminate, sf_dir)
 
 
 def bench_join_relational(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_doc_embedding_join
 
-    t0 = time.time()
-    n = q_doc_embedding_join(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_doc_embedding_join, sf_dir)
 
 
 def bench_cep(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_cep_funnel
 
-    t0 = time.time()
-    n = q_cep_funnel(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_cep_funnel, sf_dir)
 
 
 def bench_corpus_build(sf_dir: str) -> dict:
     """Composed corpus-build pipeline: scrub -> quality filter -> exact +
-    Jaccard dedup -> decontaminate -> sample -> chunk, one run."""
+    Jaccard dedup -> decontaminate -> sample -> chunk."""
     from statefulstreamprocessor_ray.pipelines.queries import q_corpus_build
 
-    t0 = time.time()
-    n = q_corpus_build(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_corpus_build, sf_dir)
 
 
 def bench_streaming_corpus(sf_dir: str) -> dict:
@@ -212,9 +209,9 @@ def bench_streaming_corpus(sf_dir: str) -> dict:
     over 3 arrival epochs), incl. the input staging the query performs."""
     from statefulstreamprocessor_ray.pipelines.queries import q_streaming_corpus
 
-    t0 = time.time()
-    n = q_streaming_corpus(sf_dir).count()
-    return {"sec": time.time() - t0, "rows": n}
+    # q_streaming_corpus rmtrees and restages its workspace per call, so each
+    # timed run is a full fresh job (no exactly-once second-run-zero skew)
+    return _best2(q_streaming_corpus, sf_dir)
 
 
 def bench_streaming_minhash(sf_dir: str) -> dict:
@@ -243,14 +240,18 @@ def bench_streaming_minhash(sf_dir: str) -> dict:
     for i in range(3):
         lo, hi = i * n // 3, (i + 1) * n // 3
         pq_.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
-    t0 = time.time()
-    stats = StreamingMinHashJob(
-        StreamingMinHashConfig(
-            input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out",
-            n_shards=8,
-        )
-    ).run()
-    return {"sec": time.time() - t0, "rows": stats["rows_emitted"]}
+    dt, rows = 1e18, 0
+    for rep in range(2):  # min-of-2, fresh work/out dirs per run
+        t0 = time.time()
+        stats = StreamingMinHashJob(
+            StreamingMinHashConfig(
+                input_path=inp, work_dir=f"{base}/work{rep}",
+                out_dir=f"{base}/out{rep}", n_shards=8,
+            )
+        ).run()
+        dt = min(dt, time.time() - t0)
+        rows = stats["rows_emitted"]
+    return {"sec": dt, "rows": rows}
 
 
 def bench_streaming_windows(sf_dir: str) -> dict:
@@ -260,9 +261,7 @@ def bench_streaming_windows(sf_dir: str) -> dict:
         q_streaming_session_windows,
     )
 
-    t0 = time.time()
-    n = q_streaming_session_windows(sf_dir).num_rows
-    return {"sec": time.time() - t0, "rows": n}
+    return _best2(q_streaming_session_windows, sf_dir)
 
 
 def _silence_schema_hash_noise() -> None:

@@ -82,7 +82,12 @@ def sized_hash_partitions(size_bytes: int | None) -> int:
     feeding the exchange (it must be fully resident for the shuffle barrier
     anyway) and pass its ``size_bytes()``."""
     cpus = _cluster_cpus()
-    lo = max(16, cpus // 2)
+    # floor: measured at sf0.1/32 CPUs on the minhash candidate exchange,
+    # best-of-2: floor 16 -> 4.32 s, floor 8 -> 3.78 s, floor 4 -> 4.20 s
+    # (each partition costs ~80-100 ms fixed; too few starves parallel
+    # finalize). Only binds for small measured payloads — volume runs are
+    # need-driven at ~32 MB/partition.
+    lo = max(8, cpus // 4)
     hi = cpus * 16
     if not size_bytes:
         return lo
