@@ -147,20 +147,26 @@ def exact_dup_pairs(
         )
 
         from statefulstreamprocessor_ray.stages.exchange import (
+            local_keyed_map,
             sized_hash_partitions,
+            small_exchange,
         )
 
         hashed = ds.map_batches(
             _arrow_wrap(hash_ids), batch_format="pandas"
         ).materialize()
-        n_parts = sized_hash_partitions(hashed.size_bytes())
-        # partition on h_lo alone: star_edges groups by the full (lo, hi)
-        # internally, and every row of a given lo (hence of a given 128-bit
-        # hash) lands in one partition
-        with hash_shuffle_window(hashed, n_parts):
-            edges = hash_partitioned_map(
-                hashed, ["h_lo"], star_edges, n_parts
-            ).to_pandas()
+        sz = hashed.size_bytes()
+        if small_exchange(sz):
+            edges = local_keyed_map(hashed, star_edges).to_pandas()
+        else:
+            n_parts = sized_hash_partitions(sz)
+            # partition on h_lo alone: star_edges groups by the full (lo, hi)
+            # internally, and every row of a given lo (hence of a given
+            # 128-bit hash) lands in one partition
+            with hash_shuffle_window(hashed, n_parts):
+                edges = hash_partitioned_map(
+                    hashed, ["h_lo"], star_edges, n_parts
+                ).to_pandas()
         del hashed
     else:
         edges = (
@@ -576,7 +582,9 @@ def _jaccard_pairs_df_hash(
     from statefulstreamprocessor_ray.stages.exchange import (
         hash_partitioned_map,
         hash_shuffle_window,
+        local_keyed_map,
         sized_hash_partitions,
+        small_exchange,
     )
 
     _, pairs_in_bucket = _bucket_pairs(["sh"], carry=("n",), max_df=max_df)
@@ -593,7 +601,20 @@ def _jaccard_pairs_df_hash(
     # verify over a known-small candidate set; each barrier costs ~0.3 s)
     if num_partitions is None:
         sh_in = sh.materialize()
-        n1 = sized_hash_partitions(sh_in.size_bytes())
+        sz = sh_in.size_bytes()
+        if small_exchange(sz):
+            # one-partition payload: run both stages in single coalesced
+            # tasks — the partials block flows whole into group_sum
+            partials = local_keyed_map(sh_in, _arrow_wrap(pairs_in_bucket))
+            summed = partials.map_batches(
+                _arrow_wrap(group_sum), batch_format="pandas", batch_size=None
+            )
+            out = summed.map_batches(
+                _jac_filter_fn(threshold), batch_format="pandas"
+            ).to_pandas()
+            del sh_in
+            return _finish_jaccard(out)
+        n1 = sized_hash_partitions(sz)
     else:
         sh_in, n1 = sh, num_partitions
     with hash_shuffle_window(sh_in, n1):
@@ -808,18 +829,24 @@ def minhash_lsh_pairs(
         )
 
         from statefulstreamprocessor_ray.stages.exchange import (
+            local_keyed_map,
             sized_hash_partitions,
+            small_exchange,
         )
 
         _, pairs_in_bucket = _bucket_pairs(["band_key"], max_df=max_df)
         # materialize the band table (the shuffle barrier needs it resident
         # anyway) so the partition count scales with its MEASURED size
         band_mat = buckets.materialize()
-        n_parts = sized_hash_partitions(band_mat.size_bytes())
-        with hash_shuffle_window(band_mat, n_parts):
-            cand_df = hash_partitioned_map(
-                band_mat, ["band_key"], pairs_in_bucket, n_parts
-            ).to_pandas()
+        sz = band_mat.size_bytes()
+        if small_exchange(sz):
+            cand_df = local_keyed_map(band_mat, pairs_in_bucket).to_pandas()
+        else:
+            n_parts = sized_hash_partitions(sz)
+            with hash_shuffle_window(band_mat, n_parts):
+                cand_df = hash_partitioned_map(
+                    band_mat, ["band_key"], pairs_in_bucket, n_parts
+                ).to_pandas()
         del band_mat
     else:
         add_bucket, pairs_in_bucket = _bucket_pairs(["band_key"], max_df=max_df)
@@ -861,7 +888,7 @@ def minhash_lsh_pairs(
     # the candidate set is usually a tiny fraction of the corpus, and each
     # hash partition costs ~80 ms fixed (see stages/exchange.py)
     verify_parts = None
-    if exchange == "hash":
+    if exchange == "hash" and len(cand_ids) > 20_000:
         from statefulstreamprocessor_ray.stages.exchange import (
             default_hash_partitions,
         )
@@ -869,6 +896,10 @@ def minhash_lsh_pairs(
         verify_parts = max(
             8, min(default_hash_partitions(None), len(cand_ids) // 20_000 + 1)
         )
+    # <= 20k candidate docs: leave num_partitions unset so the exchange
+    # measures the (candidate-restricted, tiny) shingle table and takes the
+    # single-task local path — the sizing barrier costs one materialize of
+    # a table the shuffle barrier needed resident anyway
     jac_df, _ = _jaccard_pairs_df(
         sh, threshold=threshold, exchange=exchange, num_partitions=verify_parts
     )
@@ -1042,24 +1073,34 @@ def simhash_pairs(
         )
 
         from statefulstreamprocessor_ray.stages.exchange import (
+            local_keyed_map,
             sized_hash_partitions,
+            small_exchange,
         )
 
         band_mat = sims.map_batches(
             _arrow_wrap(band_rows), batch_format="pandas"
         ).materialize()
-        n_parts = sized_hash_partitions(band_mat.size_bytes())
-        with hash_shuffle_window(band_mat, n_parts):
+        sz = band_mat.size_bytes()
+        if small_exchange(sz):
             verified = (
-                hash_partitioned_map(
-                    band_mat,
-                    ["band", "key16"],
-                    _arrow_wrap(pairs_in_bucket),
-                    n_parts,
-                )
+                local_keyed_map(band_mat, _arrow_wrap(pairs_in_bucket))
                 .map_batches(hamming_verify, batch_format="pandas")
                 .to_pandas()
             )
+        else:
+            n_parts = sized_hash_partitions(sz)
+            with hash_shuffle_window(band_mat, n_parts):
+                verified = (
+                    hash_partitioned_map(
+                        band_mat,
+                        ["band", "key16"],
+                        _arrow_wrap(pairs_in_bucket),
+                        n_parts,
+                    )
+                    .map_batches(hamming_verify, batch_format="pandas")
+                    .to_pandas()
+                )
         del band_mat
     else:
         verified = (

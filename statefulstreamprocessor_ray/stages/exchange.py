@@ -95,6 +95,33 @@ def sized_hash_partitions(size_bytes: int | None) -> int:
     return int(min(hi, max(lo, need)))
 
 
+def small_exchange(size_bytes: int | None) -> bool:
+    """True when the MEASURED exchange payload fits in one target partition
+    (``TARGET_PARTITION_BYTES``): a hash shuffle cannot spread work that all
+    fits a single task anyway, so its fixed costs — aggregator-actor
+    spin-up plus ~80-100 ms per partition — are pure overhead. Callers
+    route to :func:`local_keyed_map` instead. Measured at sf0.1/32 (cold):
+    corpus_build's exact + Jaccard pair passes drop from 5.7 s + 8.8 s of
+    exchange-dominated wall to single-task cost. Volume runs never take
+    this branch (their payloads are GBs)."""
+    return size_bytes is not None and size_bytes <= TARGET_PARTITION_BYTES
+
+
+def local_keyed_map(
+    ds: ray.data.Dataset, fn: Callable, batch_format: str = "pandas"
+) -> ray.data.Dataset:
+    """Small-payload pendant of :func:`hash_partitioned_map`: coalesce the
+    (already materialized, one-partition-sized — see :func:`small_exchange`)
+    dataset into a single block, where every key's rows are trivially
+    complete, and run ``fn`` once in ONE worker task. No shuffle actors, no
+    strategy window, no per-partition fixed cost; the work stays off the
+    driver. Same fn contract as hash_partitioned_map (a union of complete
+    key groups)."""
+    return ds.repartition(1).map_batches(
+        fn, batch_format=batch_format, batch_size=None
+    )
+
+
 @contextmanager
 def hash_shuffle_window(
     ds: ray.data.Dataset, num_partitions: int | None = None
