@@ -106,3 +106,46 @@ def test_default_partitions_bounded():
     assert default_hash_partitions(7) == 7
     n = default_hash_partitions(None)
     assert n >= 16
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_keyed_map_matches_hash_path():
+    """The small-payload local path (small_exchange -> local_keyed_map) must
+    be observably identical to the hash exchange: same per-key completeness,
+    same results — only the physical plan differs."""
+    from statefulstreamprocessor_ray.stages.exchange import (
+        local_keyed_map,
+        small_exchange,
+    )
+
+    df = _keyed_frame(30000, 200, seed=7)
+    ds = ray.data.from_pandas(df).materialize()
+    assert small_exchange(ds.size_bytes())  # this payload IS the small case
+
+    def per_call_key_counts(g: pd.DataFrame) -> pa.Table:
+        vc = g.groupby("key", sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "key": pa.array(vc["key"].to_numpy(np.uint64), pa.uint64()),
+                "n": pa.array(vc["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out = local_keyed_map(ds, per_call_key_counts).to_pandas()
+    assert out["key"].is_unique  # single block: every key complete, once
+    want = df.groupby("key").size()
+    got = out.set_index("key")["n"].sort_index()
+    assert (got == want.sort_index()).all()
+    assert out["n"].sum() == len(df)
+
+
+def test_small_exchange_threshold():
+    from statefulstreamprocessor_ray.stages.exchange import (
+        TARGET_PARTITION_BYTES,
+        small_exchange,
+    )
+
+    assert small_exchange(0)
+    assert small_exchange(TARGET_PARTITION_BYTES)
+    assert not small_exchange(TARGET_PARTITION_BYTES + 1)
+    assert not small_exchange(None)  # unmeasured -> never local
