@@ -782,6 +782,15 @@ def q_ngram_jaccard(sf_dir):
     )
 
 
+def q_ngram_containment(sf_dir):
+    """Overlap-coefficient pairs (inter/min(|A|,|B|) >= 0.8): the
+    partial-copy/excerpt detector — high containment at low Jaccard marks
+    a small doc embedded in a big one."""
+    return dedup.ngram_containment_pairs(
+        _documents(sf_dir, columns=["doc_id", "text"]), threshold=0.8, k=3
+    )
+
+
 def q_text_stats(sf_dir):
     """fingerprint_mode="md5" pins the oracle-reproducible fingerprint
     (DuckDB md5()); the default "sip" mode (vectorized content_hash128 hex,
@@ -1012,6 +1021,7 @@ QUERIES = {
     "streaming_session_windows": q_streaming_session_windows,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -2053,6 +2063,24 @@ SELECT r.doc_id, r.lang, r.source,
        CAST(least(ch.n - ch.start, 40) AS BIGINT) AS n_tokens
 FROM ch JOIN raw r USING (doc_id)
 """
+
+# ngram_containment: the jaccard oracle's CTE chain with the score formula
+# swapped for the overlap coefficient inter/min(|A|,|B|) at threshold 0.8 —
+# derived by substitution so the shingle CTEs cannot drift
+_JAC_TAIL = """SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+"""
+assert _JAC_TAIL in ORACLE_SQL["ngram_jaccard"]
+ORACLE_SQL["ngram_containment"] = ORACLE_SQL["ngram_jaccard"].replace(
+    _JAC_TAIL,
+    """SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE)/least(sa.n, sb.n) AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE)/least(sa.n, sb.n) >= 0.8
+""",
+)
 
 # corpus_build_packed: corpus_build's CTE chain with the final chunk SELECT
 # swapped for the pack_sequences recursive greedy walk (budget 128, bucket

@@ -478,6 +478,7 @@ def _jaccard_pairs_df(
     threshold: float | None = None,
     exchange: str = "hash",
     num_partitions: int | None = None,
+    metric: str = "jaccard",
 ) -> tuple[pd.DataFrame, int]:
     """Shingle rows (doc_id, sh, n) -> exact-Jaccard pair frame
     (doc_a, doc_b, jaccard) plus the hot-shingle skip count.
@@ -493,7 +494,11 @@ def _jaccard_pairs_df(
     showed the candidate sort going superlinear on one box)."""
     if exchange == "hash":
         return _jaccard_pairs_df_hash(
-            sh, max_df=max_df, threshold=threshold, num_partitions=num_partitions
+            sh,
+            max_df=max_df,
+            threshold=threshold,
+            num_partitions=num_partitions,
+            metric=metric,
         )
     from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
 
@@ -508,14 +513,18 @@ def _jaccard_pairs_df(
     )
 
     out = summed.map_batches(
-        _jac_filter_fn(threshold), batch_format="pandas"
+        _jac_filter_fn(threshold, metric), batch_format="pandas"
     ).to_pandas()
     return _finish_jaccard(out)
 
 
-def _jac_filter_fn(threshold: float | None):
-    """Jaccard + threshold filter over summed pair partials; hot-marker rows
-    always pass so their counts reach the driver."""
+def _jac_filter_fn(threshold: float | None, metric: str = "jaccard"):
+    """Score + threshold filter over summed pair partials; hot-marker rows
+    always pass so their counts reach the driver. ``metric``: "jaccard" =
+    inter/union; "containment" = the overlap coefficient inter/min(|A|,|B|)
+    (catches a small doc contained in a big one, where |A| << |B| drives
+    Jaccard down but containment stays ~1). The score rides the internal
+    "jaccard" column either way; public containment entry points rename."""
 
     def jac_filter(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -528,7 +537,13 @@ def _jac_filter_fn(threshold: float | None):
                 }
             )
         hot = df["doc_a"].to_numpy() == _HOT_MARKER
-        union = (df["n_a"] + df["n_b"] - df["inter"]).to_numpy(np.float64)
+        if metric == "containment":
+            denom = np.minimum(
+                df["n_a"].to_numpy(np.float64), df["n_b"].to_numpy(np.float64)
+            )
+        else:
+            denom = (df["n_a"] + df["n_b"] - df["inter"]).to_numpy(np.float64)
+        union = denom
         jac = np.where(union > 0, df["inter"].to_numpy(np.float64) / np.where(union > 0, union, 1.0), 0.0)
         keep = hot | (jac >= threshold if threshold is not None else np.ones(len(df), bool))
         return pd.DataFrame(
@@ -573,6 +588,7 @@ def _jaccard_pairs_df_hash(
     max_df: int | None = None,
     threshold: float | None = None,
     num_partitions: int | None = None,
+    metric: str = "jaccard",
 ) -> tuple[pd.DataFrame, int]:
     """Hash-exchange body of :func:`_jaccard_pairs_df`: repartition by the
     shingle hash itself (each partition fully contains its shingles, so
@@ -610,7 +626,7 @@ def _jaccard_pairs_df_hash(
                 _arrow_wrap(group_sum), batch_format="pandas", batch_size=None
             )
             out = summed.map_batches(
-                _jac_filter_fn(threshold), batch_format="pandas"
+                _jac_filter_fn(threshold, metric), batch_format="pandas"
             ).to_pandas()
             del sh_in
             return _finish_jaccard(out)
@@ -630,7 +646,7 @@ def _jaccard_pairs_df_hash(
             partials, sum_keys, _arrow_wrap(group_sum), n2
         )
         out = summed.map_batches(
-            _jac_filter_fn(threshold), batch_format="pandas"
+            _jac_filter_fn(threshold, metric), batch_format="pandas"
         ).to_pandas()
     del sh_in, partials
     return _finish_jaccard(out)
@@ -676,6 +692,39 @@ def ngram_jaccard_pairs(
         sh, max_df=max_df, threshold=threshold, exchange=exchange
     )
     return _pairs_table(pairs, "jaccard", pa.float64(), n_hot)
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    exchange: str = "hash",
+) -> pa.Table:
+    """Exact n-gram CONTAINMENT duplicate pairs: the overlap coefficient
+    ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) >= t`` over k-token shingle sets.
+
+    The quote/excerpt/superset detector Jaccard structurally misses: a
+    200-shingle doc fully embedded in a 5,000-shingle doc has containment
+    1.0 but Jaccard ~0.04 — exactly the partial-copy shape (boilerplate
+    wrappers around syndicated articles, chat logs quoting earlier docs)
+    a curation pass wants to catch. Same single-pass machinery and scale
+    path as :func:`ngram_jaccard_pairs` (shared-shingle blocking is still
+    complete: containment > 0 implies a shared shingle); only the
+    worker-side score formula differs. Returns (doc_a, doc_b, containment)
+    with a < b, sorted."""
+    sh = ds.map_batches(
+        _arrow_wrap(ShingleStage(k=k, text_col=text_col, id_col=id_col)),
+        batch_format="pandas",
+    )
+    pairs, n_hot = _jaccard_pairs_df(
+        sh, max_df=max_df, threshold=threshold, exchange=exchange,
+        metric="containment",
+    )
+    pairs = pairs.rename(columns={"jaccard": "containment"})
+    return _pairs_table(pairs, "containment", pa.float64(), n_hot)
 
 
 # ---------------------------------------------------------------------------

@@ -65,3 +65,38 @@ def test_session_bounded_join():
     assert (out.session_id == 0).sum() == 7
     assert (out.session_id == 1).sum() == 7
     assert "conv_id" in out.columns and "_skey" not in out.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_catches_embedded_doc_jaccard_misses():
+    """A short doc fully embedded in a much longer one: containment = 1.0
+    (every shingle of the small doc appears in the big one) while Jaccard
+    is tiny — the partial-copy shape ngram_containment_pairs exists for."""
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i:03d}" for i in range(400)]
+    small = " ".join(rng.choice(words, 30))
+    big = small + " " + " ".join(rng.choice(words, 500))
+    other = " ".join(rng.choice(words, 200))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([small, big, other]),
+            }
+        )
+    )
+    cont = ngram_containment_pairs(ds, threshold=0.8, k=3).to_pandas()
+    got = set(zip(cont["doc_a"], cont["doc_b"]))
+    assert (1, 2) in got
+    row = cont[(cont["doc_a"] == 1) & (cont["doc_b"] == 2)].iloc[0]
+    assert row["containment"] == 1.0
+
+    jac = ngram_jaccard_pairs(ds, threshold=0.5, k=3).to_pandas()
+    assert (1, 2) not in set(zip(jac["doc_a"], jac["doc_b"]))
