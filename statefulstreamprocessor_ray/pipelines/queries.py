@@ -782,6 +782,26 @@ def q_ngram_jaccard(sf_dir):
     )
 
 
+def q_url_domains(sf_dir):
+    """Per-domain URL stats (domain, n_urls, n_docs): the
+    blocklist-reconnaissance pass; distributed as per-batch partial counts
+    + one (domain)-keyed group-sum exchange. The driver testdata contains
+    no URLs, so this is a zero-row result here (the value-level check
+    lives in test_curation.py over a synthetic URL corpus) — returned as a
+    schema-pinned Arrow table because a zero-row Ray Dataset loses its
+    column names through to_pandas()."""
+    from statefulstreamprocessor_ray.stages.curation import url_domain_stats
+
+    schema = pa.schema(
+        [("domain", pa.string()), ("n_urls", pa.int64()), ("n_docs", pa.int64())]
+    )
+    out = url_domain_stats(_documents(sf_dir, columns=["doc_id", "text"]))
+    df = out.to_pandas()
+    if df.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+
+
 def q_ngram_containment(sf_dir):
     """Overlap-coefficient pairs (inter/min(|A|,|B|) >= 0.8): the
     partial-copy/excerpt detector — high containment at low Jaccard marks
@@ -1022,6 +1042,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
+    "url_domains": q_url_domains,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -2062,6 +2083,20 @@ SELECT r.doc_id, r.lang, r.source,
        array_to_string(r.rws[ch.start + 1 : ch.start + 40], ' ') AS chunk_text,
        CAST(least(ch.n - ch.start, 40) AS BIGINT) AS n_tokens
 FROM ch JOIN raw r USING (doc_id)
+"""
+
+# url_domains: same URL regex as the scrubber, domain = lowercased authority
+ORACLE_SQL["url_domains"] = r"""
+WITH u AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text,''), 'https?://[^\s]+')) AS url
+  FROM documents
+), d AS (
+  SELECT doc_id, lower(regexp_extract(url, '^https?://([^/\s?#]+)', 1)) AS domain FROM u
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM d WHERE domain IS NOT NULL AND domain <> ''
+GROUP BY 1
 """
 
 # ngram_containment: the jaccard oracle's CTE chain with the score formula

@@ -357,6 +357,73 @@ SCRUB_PATTERNS = {
 }
 
 
+# domain = the URL's authority component: everything after :// up to the
+# first /, ?, # or whitespace. RE2- and Python-re-compatible like
+# SCRUB_PATTERNS, so the DuckDB oracle applies literally the same regex.
+URL_DOMAIN_PATTERN = r"^https?://([^/\s?#]+)"
+
+
+def url_domain_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_pattern: str | None = None,
+) -> ray.data.Dataset:
+    """Per-domain URL statistics over a corpus: ``(domain, n_urls,
+    n_docs)`` — the blocklist/allowlist reconnaissance pass of a curation
+    loop (which domains dominate the crawl, which to gate on).
+
+    Distributed shape: per-batch vectorized URL extraction (the same
+    ``SCRUB_PATTERNS["url"]`` regex the scrubber uses) + PARTIAL counts —
+    a map-side combiner; each doc lives in exactly one batch, so
+    per-batch distinct-doc counts sum exactly — then one small keyed
+    exchange over (domain, partials) via ``sharded_group_sum``. Only
+    (domain, count, count) rows ride the shuffle, never text. Domains are
+    lowercased authorities (host[:port]); URLs whose authority is empty
+    (e.g. a bare ``https:///path``) are dropped on both the engine and
+    oracle side."""
+    from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
+    upat = url_pattern or SCRUB_PATTERNS["url"]
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        # Arrow-typed output (incl. the empty batch) so the exchange carries
+        # typed blocks — object-dtype empties break Ray's size estimator
+        empty = pa.table(
+            {
+                "domain": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+        s = batch[text_col].fillna("")
+        urls = s.str.findall(upat).explode().dropna()
+        if urls.empty:
+            return empty
+        dom = urls.str.extract(URL_DOMAIN_PATTERN, expand=False).str.lower()
+        keep = dom.notna() & (dom != "")
+        if not keep.any():
+            return empty
+        df = pd.DataFrame({"domain": dom[keep], "doc": urls.index[keep]})
+        g = df.groupby("domain", sort=False)
+        return pa.table(
+            {
+                "domain": pa.array(g.size().index, pa.string()),
+                "n_urls": pa.array(g.size().to_numpy(np.int64), pa.int64()),
+                "n_docs": pa.array(
+                    g["doc"].nunique().to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return sharded_group_sum(
+        partials, keys=["domain"], sums={"n_urls": "n_urls", "n_docs": "n_docs"}
+    )
+
+
 def scrub_text(
     ds: ray.data.Dataset,
     patterns: dict | None = None,

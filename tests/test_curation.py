@@ -298,3 +298,33 @@ def test_repetition_stats_signals():
     assert out.n_tokens.tolist() == [5, 4, 0]
     assert out.n_distinct.tolist() == [2, 4, 0]
     assert out.top_token_frac.tolist() == [0.8, 0.25, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_domain_stats_counts_and_distinct_docs():
+    import pyarrow as pa
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.curation import url_domain_stats
+
+    docs = [
+        "see https://EXAMPLE.com/a and https://example.com/b?q=1 now",
+        "only http://other.org here",
+        "dup https://example.com/x plus mail-free text",
+        "no urls at all",
+        "edge https:/// broken and https://example.com#frag",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+    )
+    out = url_domain_stats(ds).to_pandas().sort_values("domain").reset_index(drop=True)
+    got = {r["domain"]: (r["n_urls"], r["n_docs"]) for _, r in out.iterrows()}
+    # example.com: 4 urls (2 in doc0 — one uppercase host, lowercased —
+    # 1 in doc2, 1 in doc4) across 3 docs; other.org: 1 url / 1 doc;
+    # the bare "https:///" authority-less url is dropped
+    assert got == {"example.com": (4, 3), "other.org": (1, 1)}
