@@ -802,6 +802,17 @@ def q_url_domains(sf_dir):
     return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
 
 
+def q_tfidf_top_terms(sf_dir):
+    """Per-doc top-5 TF-IDF terms: two linear keyed exchanges (by term to
+    attach df, by doc for top-k), no vocabulary broadcast; scores rounded
+    to 6 decimals before ranking so ties break deterministically."""
+    from statefulstreamprocessor_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _documents(sf_dir, columns=["doc_id", "text"]), top_k=5
+    )
+
+
 def q_ngram_containment(sf_dir):
     """Overlap-coefficient pairs (inter/min(|A|,|B|) >= 0.8): the
     partial-copy/excerpt detector — high containment at low Jaccard marks
@@ -1043,6 +1054,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
     "url_domains": q_url_domains,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -2083,6 +2095,30 @@ SELECT r.doc_id, r.lang, r.source,
        array_to_string(r.rws[ch.start + 1 : ch.start + 40], ' ') AS chunk_text,
        CAST(least(ch.n - ch.start, 40) AS BIGINT) AS n_tokens
 FROM ch JOIN raw r USING (doc_id)
+"""
+
+# tfidf_top_terms: same tokenization as the jaccard/shingle oracles; scores
+# rounded to 6 decimals BEFORE the rank so the (score desc, term asc)
+# tie-break cannot flip on last-ulp libm differences between numpy and DuckDB
+ORACLE_SQL["tfidf_top_terms"] = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS term FROM t WHERE len(ws) > 0
+), tc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tc GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tc.doc_id, tc.term,
+         round(tc.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
+  FROM tc JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s
+) WHERE rk <= 5
 """
 
 # url_domains: same URL regex as the scrubber, domain = lowercased authority

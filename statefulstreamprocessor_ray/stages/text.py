@@ -268,3 +268,108 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(t) AS fingerprint
 FROM base
 """
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms: ``(doc_id, term, score)`` with
+    ``score = round(tf * ln(N / df), 6)`` — the keyword/topic-signal pass
+    of a curation loop (what is this doc ABOUT, which docs are dominated
+    by one boilerplate term).
+
+    Scale shape — NO broadcast of the vocabulary (at corpus scale the df
+    table is itself huge): two linear keyed exchanges whose payloads are
+    (doc, term, count) rows, never text. Pass 1 groups by TERM and
+    attaches each term's document frequency (rows per term = docs per
+    term, since (doc, term) rows are distinct); pass 2 groups by DOC and
+    keeps the top-k rows by (score desc, term asc). Scores are rounded to
+    6 decimals BEFORE ranking so the tie-break is deterministic and
+    libm-variation-proof (the jaccard_r precedent); N is the full input
+    row count. Docs with no tokens emit nothing. Payloads that fit one
+    partition take the single-task local path (stages/exchange.py)."""
+    import pyarrow as pa
+
+    from statefulstreamprocessor_ray.stages.exchange import (
+        hash_partitioned_map,
+        hash_shuffle_window,
+        local_keyed_map,
+        sized_hash_partitions,
+        small_exchange,
+    )
+
+    n_docs = ds.count()
+
+    def term_counts(df: pd.DataFrame) -> pa.Table:
+        s = df[text_col].fillna("").str.lower().str.split()
+        n = s.str.len().to_numpy(np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if not n.any():
+            return empty
+        ids = np.repeat(df[id_col].to_numpy(np.int64), n)
+        flat = np.concatenate([np.asarray(l, dtype=object) for l in s if l])
+        tdf = pd.DataFrame({id_col: ids, "term": flat})
+        out = (
+            tdf.groupby([id_col, "term"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(out["term"].to_numpy(object), pa.string()),
+                "tf": pa.array(out["tf"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        codes, _ = pd.factorize(g["term"], sort=False)
+        per_term = np.bincount(codes)
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(g["term"].to_numpy(object), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+                "df": pa.array(per_term[codes].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def doc_topk(g: pd.DataFrame) -> pa.Table:
+        score = np.round(
+            g["tf"].to_numpy(np.float64)
+            * np.log(float(n_docs) / g["df"].to_numpy(np.float64)),
+            6,
+        )
+        g = g.assign(score=score).sort_values(
+            [id_col, "score", "term"], ascending=[True, False, True]
+        )
+        g = g.groupby(id_col, sort=False).head(top_k)
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(g["term"].to_numpy(object), pa.string()),
+                "score": pa.array(g["score"].to_numpy(np.float64), pa.float64()),
+            }
+        )
+
+    tc = ds.select_columns([id_col, text_col]).map_batches(
+        term_counts, batch_format="pandas"
+    ).materialize()
+    sz = tc.size_bytes()
+    if small_exchange(sz):
+        with_df = local_keyed_map(tc, attach_df)
+        return with_df.map_batches(doc_topk, batch_format="pandas", batch_size=None)
+    n_parts = sized_hash_partitions(sz)
+    with hash_shuffle_window(tc, n_parts):
+        with_df = hash_partitioned_map(tc, ["term"], attach_df, n_parts)
+        out = hash_partitioned_map(with_df, [id_col], doc_topk, n_parts)
+        return out.materialize()

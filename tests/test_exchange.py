@@ -149,3 +149,33 @@ def test_small_exchange_threshold():
     assert small_exchange(TARGET_PARTITION_BYTES)
     assert not small_exchange(TARGET_PARTITION_BYTES + 1)
     assert not small_exchange(None)  # unmeasured -> never local
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_hash_path_matches_local(monkeypatch):
+    """tfidf_top_terms through BOTH physical plans: the default local path
+    (payload under one partition) and the hash-exchange path (forced by
+    shrinking the partition-size target) must produce identical rows."""
+    import statefulstreamprocessor_ray.stages.exchange as ex
+    from statefulstreamprocessor_ray.stages.text import tfidf_top_terms
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i:03d}" for i in range(150)]
+    docs = [" ".join(rng.choice(words, 40)) for _ in range(200)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": docs})
+    )
+
+    def run():
+        out = tfidf_top_terms(ds, top_k=3).to_pandas()
+        return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+    local = run()
+    assert len(local) == 600  # 3 per doc
+    # force the hash branch while keeping the sized partition count sane:
+    # a tiny TARGET_PARTITION_BYTES would push the count to the cpus*16
+    # cap, where 1/16-CPU-per-partition aggregator reservations starve a
+    # 4-CPU session (the documented small-cluster deadlock)
+    monkeypatch.setattr(ex, "small_exchange", lambda sz: False)
+    hashed = run()
+    pd.testing.assert_frame_equal(local, hashed)
