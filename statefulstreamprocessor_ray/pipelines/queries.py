@@ -813,6 +813,16 @@ def q_tfidf_top_terms(sf_dir):
     )
 
 
+def q_bigram_surprisal(sf_dir):
+    """Per-doc bigram-LM surprisal vs the corpus's own statistics (KenLM-
+    style fluency signal). Per-bigram surprisal is quantized to integer
+    micro-nats BEFORE summing so the distributed sum is exact int64 —
+    float sums are addition-order-dependent and unprovable vs an oracle."""
+    from statefulstreamprocessor_ray.stages.text import bigram_surprisal
+
+    return bigram_surprisal(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_ngram_containment(sf_dir):
     """Overlap-coefficient pairs (inter/min(|A|,|B|) >= 0.8): the
     partial-copy/excerpt detector — high containment at low Jaccard marks
@@ -1055,6 +1065,7 @@ QUERIES = {
     "ngram_containment": q_ngram_containment,
     "url_domains": q_url_domains,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_surprisal": q_bigram_surprisal,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -2119,6 +2130,36 @@ s AS (
 SELECT doc_id, term, score FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s
 ) WHERE rk <= 5
+"""
+
+# bigram_surprisal: surprisal quantized to integer micro-nats before the
+# per-doc sum — int64 addition is associative, so the engine's partition
+# order and DuckDB's aggregation order provably agree; the only doubles are
+# one identical division chain at the end
+ORACLE_SQL["bigram_surprisal"] = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), big AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS pr
+    FROM t WHERE len(ws) >= 2
+  )
+), bc AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3
+), g12 AS (
+  SELECT w1, w2, sum(tf) AS c12 FROM bc GROUP BY 1, 2
+), g1 AS (
+  SELECT w1, sum(tf) AS c1 FROM bc GROUP BY 1
+), s AS (
+  SELECT bc.doc_id, bc.tf,
+         CAST(round(ln(CAST(c1 AS DOUBLE)/c12)*1000000) AS BIGINT) AS sm
+  FROM bc JOIN g12 USING (w1, w2) JOIN g1 USING (w1)
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(tf*sm) AS BIGINT) AS surprisal_micro,
+       CAST(sum(tf*sm) AS DOUBLE)/sum(tf)/1000000 AS mean_surprisal
+FROM s GROUP BY 1
 """
 
 # url_domains: same URL regex as the scrubber, domain = lowercased authority

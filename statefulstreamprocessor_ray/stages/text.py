@@ -373,3 +373,133 @@ def tfidf_top_terms(
         with_df = hash_partitioned_map(tc, ["term"], attach_df, n_parts)
         out = hash_partitioned_map(with_df, [id_col], doc_topk, n_parts)
         return out.materialize()
+
+
+def bigram_surprisal(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document bigram-LM surprisal against the corpus's OWN bigram
+    statistics: ``(doc_id, n_bigrams, surprisal_micro, mean_surprisal)``
+    — the KenLM-style fluency/quality signal (boilerplate scores low,
+    token salad scores high) without an external model.
+
+    Model: unsmoothed corpus bigram LM, ``P(w2|w1) = c(w1,w2)/c(w1,·)``.
+    Scored on its own training corpus every observed bigram has c >= 1,
+    so no smoothing (hence no vocabulary constant) is needed. Per-bigram
+    surprisal is quantized to integer micro-nats
+    (``round(ln(c1/c12)*1e6)``) BEFORE summation, so the per-doc sum is
+    exact int64 arithmetic — float sums are order-dependent and a
+    distributed engine cannot promise the oracle's addition order;
+    integer sums are associative. ``mean_surprisal`` = micro-sum / count
+    / 1e6 — deliberately UNrounded: the identical IEEE division chain is
+    bit-deterministic on both sides, while a final round-to-6 diverges on
+    exact decimal midpoints (numpy half-even vs DuckDB half-away).
+
+    Scale shape (the tfidf_top_terms pattern): per-batch (doc, w1, w2,
+    tf) bigram counts, an exchange keyed on w1 attaches the global
+    ``c(w1,w2)`` and ``c(w1,·)`` (each w1's rows are co-located and
+    complete), and an exchange keyed on doc sums — no model broadcast,
+    no driver materialization. Docs with < 2 tokens emit nothing."""
+    import pyarrow as pa
+
+    from statefulstreamprocessor_ray.stages.exchange import (
+        hash_partitioned_map,
+        hash_shuffle_window,
+        local_keyed_map,
+        sized_hash_partitions,
+        small_exchange,
+    )
+
+    def bigram_counts(df: pd.DataFrame) -> pa.Table:
+        s = df[text_col].fillna("").str.lower().str.split()
+        n = s.str.len().to_numpy(np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if not (n >= 2).any():
+            return empty
+        ids = np.repeat(df[id_col].to_numpy(np.int64), n)
+        flat = np.concatenate([np.asarray(l, dtype=object) for l in s if l])
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        # adjacent positions within the same doc
+        w1, w2 = flat[:-1], flat[1:]
+        same = doc_idx[:-1] == doc_idx[1:]
+        tdf = pd.DataFrame(
+            {id_col: ids[:-1][same], "w1": w1[same], "w2": w2[same]}
+        )
+        out = (
+            tdf.groupby([id_col, "w1", "w2"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+                "w1": pa.array(out["w1"].to_numpy(object), pa.string()),
+                "w2": pa.array(out["w2"].to_numpy(object), pa.string()),
+                "tf": pa.array(out["tf"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def attach_counts(g: pd.DataFrame) -> pa.Table:
+        pair_codes, _ = pd.factorize(
+            pd.util.hash_pandas_object(g[["w1", "w2"]], index=False),
+            sort=False,
+        )
+        tf = g["tf"].to_numpy(np.int64)
+        c12 = np.bincount(pair_codes, weights=tf).astype(np.int64)[pair_codes]
+        w1_codes, _ = pd.factorize(g["w1"], sort=False)
+        c1 = np.bincount(w1_codes, weights=tf).astype(np.int64)[w1_codes]
+        sm = np.round(np.log(c1.astype(np.float64) / c12) * 1e6).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "sm": pa.array(sm, pa.int64()),
+            }
+        )
+
+    def doc_sum(g: pd.DataFrame) -> pa.Table:
+        codes, uniq = pd.factorize(g[id_col], sort=False)
+        tf = g["tf"].to_numpy(np.int64)
+        micro = np.bincount(codes, weights=tf * g["sm"].to_numpy(np.int64))
+        micro = micro.astype(np.int64)
+        nb = np.bincount(codes, weights=tf).astype(np.int64)
+        # NO decimal rounding here: IEEE division is correctly rounded, so
+        # the identical micro/nb/1e6 chain yields bit-identical doubles in
+        # numpy and DuckDB — while round-to-6 DIVERGES on exact decimal
+        # midpoints (half-even vs half-away; hit in practice: a doc with
+        # micro/nb = 3373676.5)
+        mean = micro.astype(np.float64) / nb / 1e6
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(uniq, np.int64), pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "surprisal_micro": pa.array(micro, pa.int64()),
+                "mean_surprisal": pa.array(mean, pa.float64()),
+            }
+        )
+
+    bc = ds.select_columns([id_col, text_col]).map_batches(
+        bigram_counts, batch_format="pandas"
+    ).materialize()
+    sz = bc.size_bytes()
+    if small_exchange(sz):
+        scored = local_keyed_map(bc, attach_counts)
+        return scored.map_batches(
+            doc_sum, batch_format="pandas", batch_size=None
+        )
+    n_parts = sized_hash_partitions(sz)
+    with hash_shuffle_window(bc, n_parts):
+        scored = hash_partitioned_map(bc, ["w1"], attach_counts, n_parts)
+        out = hash_partitioned_map(scored, [id_col], doc_sum, n_parts)
+        return out.materialize()

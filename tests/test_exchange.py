@@ -179,3 +179,30 @@ def test_tfidf_hash_path_matches_local(monkeypatch):
     monkeypatch.setattr(ex, "small_exchange", lambda sz: False)
     hashed = run()
     pd.testing.assert_frame_equal(local, hashed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_surprisal_hash_path_matches_local(monkeypatch):
+    import statefulstreamprocessor_ray.stages.exchange as ex
+    from statefulstreamprocessor_ray.stages.text import bigram_surprisal
+
+    rng = np.random.default_rng(29)
+    words = [f"w{i:03d}" for i in range(60)]
+    docs = [" ".join(rng.choice(words, 25)) for _ in range(150)]
+    docs += ["one-token", ""]  # < 2 tokens: emit nothing
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+    )
+
+    def run():
+        out = bigram_surprisal(ds).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    local = run()
+    assert len(local) == 150
+    assert (local["n_bigrams"] == 24).all()
+    monkeypatch.setattr(ex, "small_exchange", lambda sz: False)
+    hashed = run()
+    pd.testing.assert_frame_equal(local, hashed)
