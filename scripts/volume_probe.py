@@ -168,7 +168,13 @@ def _spill_mib() -> int:
 
 def main() -> None:
     mode = sys.argv[1]
-    defaults = {"streaming": 12.0, "minhash": 20.0, "corpus": 10.0}
+    defaults = {
+        "streaming": 12.0,
+        "minhash": 20.0,
+        "corpus": 10.0,
+        "tfidf": 2.0,
+        "bigram": 2.0,
+    }
     gib = float(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 10.0)
 
     import ray
@@ -281,6 +287,40 @@ def main() -> None:
                 sec=round(dt, 1),
                 pairs=pairs.num_rows,
                 expected_pairs=n_docs // 100,
+                docs_per_sec=int(n_docs / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+            )
+        elif mode in ("tfidf", "bigram"):
+            # the r4 text-scoring exchanges: payload is O(corpus tokens)
+            # (doc, term, tf) / (doc, w1, w2, tf) rows — heavier per input
+            # byte than minhash's band table, so this is the stress probe
+            # for the term-keyed + doc-keyed two-exchange shape
+            n_docs = gen_docs(f"{base}/input", gib)
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = n_docs
+
+            import ray.data
+
+            from statefulstreamprocessor_ray.stages.text import (
+                bigram_surprisal,
+                tfidf_top_terms,
+            )
+
+            t1 = time.time()
+            if mode == "tfidf":
+                res = tfidf_top_terms(
+                    ray.data.read_parquet(f"{base}/input"), top_k=5
+                )
+                rows, expected = res.count(), n_docs * 5
+            else:
+                res = bigram_surprisal(ray.data.read_parquet(f"{base}/input"))
+                rows, expected = res.count(), n_docs
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                rows=rows,
+                expected_rows=expected,
                 docs_per_sec=int(n_docs / dt),
                 input_gib_per_sec=round(out["input_gib"] / dt, 2),
             )

@@ -323,16 +323,26 @@ def tfidf_top_terms(
             .size()
             .rename(columns={"size": "tf"})
         )
+        # th: uint64 term key for the exchange — hash-partitioning on a
+        # fixed-width int splits blocks ~an order of magnitude faster than
+        # on the term strings themselves (measured on the 2 GiB probe);
+        # the string rides as payload for the final output
+        th = pd.util.hash_array(
+            out["term"].to_numpy(object), categorize=False
+        ).astype(np.uint64, copy=False)
         return pa.table(
             {
                 id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+                "th": pa.array(th, pa.uint64()),
                 "term": pa.array(out["term"].to_numpy(object), pa.string()),
                 "tf": pa.array(out["tf"].to_numpy(np.int64), pa.int64()),
             }
         )
 
     def attach_df(g: pd.DataFrame) -> pa.Table:
-        codes, _ = pd.factorize(g["term"], sort=False)
+        # factorize on the int key, not the string (same grouping up to
+        # the hash's ~2^-64 collision rate)
+        codes, _ = pd.factorize(g["th"], sort=False)
         per_term = np.bincount(codes)
         return pa.table(
             {
@@ -368,11 +378,20 @@ def tfidf_top_terms(
     if small_exchange(sz):
         with_df = local_keyed_map(tc, attach_df)
         return with_df.map_batches(doc_topk, batch_format="pandas", batch_size=None)
-    n_parts = sized_hash_partitions(sz)
-    with hash_shuffle_window(tc, n_parts):
-        with_df = hash_partitioned_map(tc, ["term"], attach_df, n_parts)
-        out = hash_partitioned_map(with_df, [id_col], doc_topk, n_parts)
-        return out.materialize()
+    # ONE shuffle alive at a time: each HashShuffleOperator's aggregator
+    # actors reserve ~1/16 CPU per partition, so two chained token-volume
+    # exchanges running concurrently reserve most of a node and starve the
+    # map tasks (measured: 2 GiB probe at ~13/32 CPUs busy). The barrier
+    # materializes the mid table — object-store resident, spill-backed.
+    n1 = sized_hash_partitions(sz)
+    with hash_shuffle_window(tc, n1):
+        with_df = hash_partitioned_map(tc, ["th"], attach_df, n1).materialize()
+    del tc
+    n2 = sized_hash_partitions(with_df.size_bytes())
+    with hash_shuffle_window(with_df, n2):
+        return hash_partitioned_map(
+            with_df, [id_col], doc_topk, n2
+        ).materialize()
 
 
 def bigram_surprisal(
@@ -397,11 +416,14 @@ def bigram_surprisal(
     bit-deterministic on both sides, while a final round-to-6 diverges on
     exact decimal midpoints (numpy half-even vs DuckDB half-away).
 
-    Scale shape (the tfidf_top_terms pattern): per-batch (doc, w1, w2,
-    tf) bigram counts, an exchange keyed on w1 attaches the global
-    ``c(w1,w2)`` and ``c(w1,·)`` (each w1's rows are co-located and
-    complete), and an exchange keyed on doc sums — no model broadcast,
-    no driver materialization. Docs with < 2 tokens emit nothing."""
+    Scale shape (the tfidf_top_terms pattern): per-batch fixed-width
+    (doc, h1, h12, tf) bigram-hash counts — token strings never leave the
+    batch, since the output needs no terms — an exchange keyed on the
+    uint64 ``h1`` attaches the global ``c(w1,w2)`` and ``c(w1,·)`` (each
+    first-token's rows are co-located and complete), and an exchange
+    keyed on doc sums; the two shuffles are barriered so only one
+    aggregator fleet is alive at a time. No model broadcast, no driver
+    materialization. Docs with < 2 tokens emit nothing."""
     import pyarrow as pa
 
     from statefulstreamprocessor_ray.stages.exchange import (
@@ -413,13 +435,18 @@ def bigram_surprisal(
     )
 
     def bigram_counts(df: pd.DataFrame) -> pa.Table:
+        # token STRINGS never leave the batch: the output needs no terms,
+        # so bigrams are identified by uint64 hashes (h1 = first token's
+        # hash for partitioning, h12 = mixed bigram hash for counting —
+        # same grouping up to the ~2^-64 collision rate) and the exchange
+        # payload is fixed-width (id, h1, h12, tf)
         s = df[text_col].fillna("").str.lower().str.split()
         n = s.str.len().to_numpy(np.int64)
         empty = pa.table(
             {
                 id_col: pa.array([], pa.int64()),
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
+                "h1": pa.array([], pa.uint64()),
+                "h12": pa.array([], pa.uint64()),
                 "tf": pa.array([], pa.int64()),
             }
         )
@@ -427,35 +454,36 @@ def bigram_surprisal(
             return empty
         ids = np.repeat(df[id_col].to_numpy(np.int64), n)
         flat = np.concatenate([np.asarray(l, dtype=object) for l in s if l])
-        doc_idx = np.repeat(np.arange(len(n)), n)
-        # adjacent positions within the same doc
-        w1, w2 = flat[:-1], flat[1:]
-        same = doc_idx[:-1] == doc_idx[1:]
-        tdf = pd.DataFrame(
-            {id_col: ids[:-1][same], "w1": w1[same], "w2": w2[same]}
+        ht = pd.util.hash_array(flat, categorize=False).astype(
+            np.uint64, copy=False
         )
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        same = doc_idx[:-1] == doc_idx[1:]
+        h1 = ht[:-1][same]
+        with np.errstate(over="ignore"):
+            m = h1 * np.uint64(0x9E3779B97F4A7C15) ^ ht[1:][same]
+            m = (m ^ (m >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h12 = m ^ (m >> np.uint64(31))
+        tdf = pd.DataFrame({id_col: ids[:-1][same], "h1": h1, "h12": h12})
         out = (
-            tdf.groupby([id_col, "w1", "w2"], sort=False, as_index=False)
+            tdf.groupby([id_col, "h1", "h12"], sort=False, as_index=False)
             .size()
             .rename(columns={"size": "tf"})
         )
         return pa.table(
             {
                 id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
-                "w1": pa.array(out["w1"].to_numpy(object), pa.string()),
-                "w2": pa.array(out["w2"].to_numpy(object), pa.string()),
+                "h1": pa.array(out["h1"].to_numpy(np.uint64), pa.uint64()),
+                "h12": pa.array(out["h12"].to_numpy(np.uint64), pa.uint64()),
                 "tf": pa.array(out["tf"].to_numpy(np.int64), pa.int64()),
             }
         )
 
     def attach_counts(g: pd.DataFrame) -> pa.Table:
-        pair_codes, _ = pd.factorize(
-            pd.util.hash_pandas_object(g[["w1", "w2"]], index=False),
-            sort=False,
-        )
+        pair_codes, _ = pd.factorize(g["h12"], sort=False)
         tf = g["tf"].to_numpy(np.int64)
         c12 = np.bincount(pair_codes, weights=tf).astype(np.int64)[pair_codes]
-        w1_codes, _ = pd.factorize(g["w1"], sort=False)
+        w1_codes, _ = pd.factorize(g["h1"], sort=False)
         c1 = np.bincount(w1_codes, weights=tf).astype(np.int64)[w1_codes]
         sm = np.round(np.log(c1.astype(np.float64) / c12) * 1e6).astype(
             np.int64
@@ -498,8 +526,15 @@ def bigram_surprisal(
         return scored.map_batches(
             doc_sum, batch_format="pandas", batch_size=None
         )
-    n_parts = sized_hash_partitions(sz)
-    with hash_shuffle_window(bc, n_parts):
-        scored = hash_partitioned_map(bc, ["w1"], attach_counts, n_parts)
-        out = hash_partitioned_map(scored, [id_col], doc_sum, n_parts)
-        return out.materialize()
+    # one shuffle alive at a time — see tfidf_top_terms
+    n1 = sized_hash_partitions(sz)
+    with hash_shuffle_window(bc, n1):
+        scored = hash_partitioned_map(
+            bc, ["h1"], attach_counts, n1
+        ).materialize()
+    del bc
+    n2 = sized_hash_partitions(scored.size_bytes())
+    with hash_shuffle_window(scored, n2):
+        return hash_partitioned_map(
+            scored, [id_col], doc_sum, n2
+        ).materialize()
