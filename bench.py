@@ -166,6 +166,12 @@ def bench_dedup(sf_dir: str) -> dict:
     return _best2(q_minhash_lsh, sf_dir)
 
 
+def bench_tfidf(sf_dir: str) -> dict:
+    from statefulstreamprocessor_ray.pipelines.queries import q_tfidf_top_terms
+
+    return _best2(q_tfidf_top_terms, sf_dir)
+
+
 def bench_text(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_text_stats
 
@@ -306,6 +312,7 @@ def run_bench() -> dict:
         "sliding_agg": lambda: bench_sliding_agg(SF_DIR),
         "dedup_minhash": lambda: bench_dedup(SF_DIR),
         "text_stats": lambda: bench_text(SF_DIR),
+        "tfidf": lambda: bench_tfidf(SF_DIR),
         "ann_topk": lambda: bench_ann(SF_DIR),
         "cep_funnel": lambda: bench_cep(SF_DIR),
         "decontaminate": lambda: bench_decontaminate(SF_DIR),
