@@ -32,6 +32,18 @@ Facts this module encodes (verified against Ray 2.49.2):
   "Failed to hash the schemas" log line per aggregator; keep exchange
   payloads Arrow-backed (map fns feeding an exchange should emit
   ``pa.Table``).
+- ONE big shuffle alive at a time: each HashShuffleOperator's aggregator
+  fleet reserves ~1/16 CPU per partition for the op's whole lifetime, so
+  two chained token-volume exchanges running concurrently reserve most
+  of a node and starve the map tasks (measured: a 2 GiB tfidf probe ran
+  at ~13/32 CPUs busy, 1145 s; barriered via ``materialize()`` between
+  windows it ran 355 s). Chain without a barrier only when the second
+  exchange's payload is much smaller than the first's (e.g. Jaccard
+  pair partials).
+- Partition on fixed-width integer keys: string-keyed shuffles split
+  blocks at ~2.8 s per 41 MB (hash + 200 takes over string arrays);
+  precompute a uint64 hash column and repartition on that, carrying the
+  string as payload only where the output needs it.
 """
 
 from __future__ import annotations

