@@ -456,6 +456,7 @@ def bigram_surprisal(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_cf: int | None = None,
 ) -> ray.data.Dataset:
     """Per-document bigram-LM surprisal against the corpus's OWN bigram
     statistics: ``(doc_id, n_bigrams, surprisal_micro, mean_surprisal)``
@@ -481,7 +482,16 @@ def bigram_surprisal(
     first-token's rows are co-located and complete), and an exchange
     keyed on doc sums; the two shuffles are barriered so only one
     aggregator fleet is alive at a time. No model broadcast, no driver
-    materialization. Docs with < 2 tokens emit nothing."""
+    materialization. Docs with < 2 tokens emit nothing.
+
+    ``max_cf`` (optional) is the exchange skew guard, the tfidf
+    ``max_df`` pattern: a stopword CONTEXT (first token) appearing
+    everywhere sends all its bigram rows to one ``h1`` partition.
+    Per-batch (h1, row-count) partials — vocabulary-bounded — feed a
+    tiny group-sum; contexts whose corpus row count exceeds ``max_cf``
+    are broadcast and their bigrams dropped before the exchange.
+    Approximation knob: pruned-context bigrams are excluded from the
+    doc's mean (the remaining mean is still well-defined); default off."""
     import pyarrow as pa
 
     from statefulstreamprocessor_ray.stages.exchange import (
@@ -578,6 +588,50 @@ def bigram_surprisal(
     bc = ds.select_columns([id_col, text_col]).map_batches(
         bigram_counts, batch_format="pandas"
     ).materialize()
+
+    if max_cf is not None:
+        import ray as _ray
+
+        from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
+        def cf_partials(b: pd.DataFrame) -> pa.Table:
+            codes, uniq = pd.factorize(b["h1"], sort=False)
+            return pa.table(
+                {
+                    "h1": pa.array(np.asarray(uniq, np.uint64), pa.uint64()),
+                    "cfp": pa.array(
+                        np.bincount(
+                            codes, weights=b["tf"].to_numpy(np.int64)
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        def keep_hot(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["cf"] > max_cf]
+
+        hot = (
+            sharded_group_sum(
+                bc.map_batches(cf_partials, batch_format="pandas"),
+                keys=["h1"],
+                sums={"cfp": "cf"},
+            )
+            .map_batches(keep_hot, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(hot):
+            hot_ref = _ray.put(hot["h1"].to_numpy(np.uint64))
+
+            def drop_hot(t: pa.Table) -> pa.Table:
+                hot_keys = _ray.get(hot_ref)
+                h1 = t["h1"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(~np.isin(h1, hot_keys)))
+
+            bc = bc.map_batches(
+                drop_hot, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+
     sz = bc.size_bytes()
     if small_exchange(sz):
         scored = local_keyed_map(bc, attach_counts)

@@ -235,3 +235,24 @@ def test_tfidf_max_df_prunes_stopwords():
     assert (m["score_p"] == m["score_f"]).all()
     # pruning only ever removes "the" rows / promotes the next-ranked term
     assert len(pruned) == len(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_surprisal_max_cf_drops_hot_contexts():
+    """max_cf removes bigrams whose first token is a corpus-wide hot
+    context; docs made ONLY of such bigrams emit nothing, and other
+    docs' bigram counts shrink by exactly their hot-context bigrams."""
+    from statefulstreamprocessor_ray.stages.text import bigram_surprisal
+
+    rng = np.random.default_rng(51)
+    words = [f"w{i:03d}" for i in range(80)]
+    docs = ["the " + " ".join(rng.choice(words, 20)) for _ in range(100)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64), "text": docs})
+    )
+    full = bigram_surprisal(ds).to_pandas().sort_values("doc_id")
+    pruned = bigram_surprisal(ds, max_cf=50).to_pandas().sort_values("doc_id")
+    # 21 tokens -> 20 bigrams/doc, exactly one starting with "the"
+    # (context frequency 100 > 50)
+    assert (full["n_bigrams"].to_numpy() == 20).all()
+    assert (pruned["n_bigrams"].to_numpy() == 19).all()
