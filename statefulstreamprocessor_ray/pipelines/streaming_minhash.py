@@ -77,19 +77,45 @@ class StreamingMinHashConfig:
     hash_fn: str = "sip"  # "md5" = the SQL-oracle-reproducible shingle hash
     seed: int = 7
     intermediate_compression: str = "none"
+    # Precision knob (VERDICT r4 #5): with a threshold set, a band-hit doc is
+    # only dropped when its estimated Jaccard vs SOME colliding partner —
+    # mean matching minhash components, the standard unbiased estimator —
+    # reaches the threshold. None = pure LSH gate (current semantics: any
+    # band collision drops). Costs O(corpus) sketch state (n_perm*8 B/doc)
+    # sharded across K SketchShardActors.
+    verify_threshold: float | None = None
 
     def scheme(self) -> str:
-        """Checkpoint-compatibility tag: any knob that changes band keys."""
+        """Checkpoint-compatibility tag: any knob that changes band keys OR
+        the drop decision (verify threshold changes which docs are emitted,
+        and verify-mode checkpoints carry key owners — either difference
+        makes resumed state inconsistent with committed output)."""
         return (
             f"minhash/{CONTENT_HASH_SCHEME}/n_perm={self.n_perm}/"
             f"bands={self.bands}/k={self.k}/hash_fn={self.hash_fn}/seed={self.seed}"
+            f"/verify={self.verify_threshold}"
         )
 
 
-def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str]:
-    """Phase 0: (payload dir, band dir), both hive-partitioned by
-    (shard, epoch); cached on an input-fingerprint marker with the same
-    tail-append protocol as the other streaming jobs."""
+def _sketch_shard(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """Deterministic doc-id -> sketch-shard routing (splitmix64 of the id):
+    shared by the phase-0 sketch writer and the driver's verify lookups."""
+    h = np.asarray(ids, np.int64).view(np.uint64).copy()
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return (h % np.uint64(n_shards)).astype(np.int32)
+
+
+def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str, int]:
+    """Phase 0: (payload dir, band dir, n_epochs), both dirs hive-partitioned
+    by (shard, epoch); cached on an input-fingerprint marker with the same
+    tail-append protocol as the other streaming jobs.
+
+    ``n_epochs`` comes from the marker, not from listing partition dirs: an
+    epoch whose documents all produce zero band rows (every text empty) has
+    payload partitions but no band ``epoch=`` dir, so dir-listing would skip
+    it and its payload rows would silently never be emitted (ADVICE r4)."""
     import ray.data
 
     part_dir = os.path.join(cfg.work_dir, "mh_payloads")
@@ -106,6 +132,7 @@ def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str]:
         "columns": [cfg.id_col, cfg.text_col],
         "files_per_epoch": cfg.files_per_epoch,
         "scheme": cfg.scheme(),
+        "sketches": cfg.verify_threshold is not None,
     }
     tail_from: int | None = None
     done = None
@@ -114,7 +141,7 @@ def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str]:
             done = json.load(m)
         layout_ok = all(done.get(k) == v for k, v in layout.items())
         if layout_ok and done["fingerprint"] == fingerprint:
-            return part_dir, band_dir
+            return part_dir, band_dir, int(done["n_epochs"])
         if (
             layout_ok
             and len(fingerprint) > len(done["fingerprint"])
@@ -157,6 +184,22 @@ def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str]:
             }
         )
 
+    sketch_dir = os.path.join(cfg.work_dir, "mh_sketches")
+
+    def tag_sketches(batch: pa.Table, epoch: int) -> pa.Table:
+        ids, sig = stage.signatures_batch(
+            batch.select([id_col, text_col]).to_pandas()
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                # one fixed-width blob per doc: n_perm uint64s, native order
+                "sig": pa.array([row.tobytes() for row in sig], pa.binary()),
+                "shard": pa.array(_sketch_shard(ids, n_shards)),
+                "epoch": pa.array(np.full(len(ids), epoch, np.int64)),
+            }
+        )
+
     if tail_from is not None:
         new_files = files[tail_from:]
         next_epoch = done["n_epochs"]
@@ -165,11 +208,15 @@ def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str]:
         next_epoch = 0
         shutil.rmtree(part_dir, ignore_errors=True)
         shutil.rmtree(band_dir, ignore_errors=True)
+        shutil.rmtree(sketch_dir, ignore_errors=True)
     groups = [
         new_files[g : g + cfg.files_per_epoch]
         for g in range(0, len(new_files), cfg.files_per_epoch)
     ]
-    for out_dir, tag in ((part_dir, tag_payload), (band_dir, tag_bands)):
+    passes = [(part_dir, tag_payload), (band_dir, tag_bands)]
+    if cfg.verify_threshold is not None:
+        passes.append((sketch_dir, tag_sketches))
+    for out_dir, tag in passes:
         tmp = out_dir + "_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         for gi, group in enumerate(groups):
@@ -201,25 +248,38 @@ def partition_minhash_input(cfg: StreamingMinHashConfig) -> tuple[str, str]:
             dict(layout, fingerprint=fingerprint, n_epochs=next_epoch + len(groups)),
             m,
         )
-    return part_dir, band_dir
+    return part_dir, band_dir, next_epoch + len(groups)
 
 
 @ray.remote
 class BandShardActor:
     """Owns the band keys hashing to this shard; state = seen-key uint64 set,
-    delta-checkpointed per epoch (only this epoch's NEW keys)."""
+    delta-checkpointed per epoch (only this epoch's NEW keys). In verify mode
+    the state additionally carries each key's OWNER (the first doc id ever
+    holding it, kept key-sorted for searchsorted lookup) so hits come back as
+    (hit_id, owner_id) pairs the driver can Jaccard-verify."""
 
-    def __init__(self, shard_id: int, id_col: str, ckpt_dir: str, scheme: str):
+    def __init__(
+        self,
+        shard_id: int,
+        id_col: str,
+        ckpt_dir: str,
+        scheme: str,
+        verify: bool = False,
+    ):
         self.shard_id = shard_id
         self.id_col = id_col
         self.scheme = scheme
+        self.verify = verify
         self.seen = np.array([], np.uint64)
+        self.owners = np.array([], np.int64)  # aligned with key-sorted seen
         self.ckpt = CheckpointStore(ckpt_dir)
 
     def restore(
         self, last_committed_epoch: int, committed_epochs: list[int] | None = None
     ) -> int:
         self.seen = np.array([], np.uint64)
+        self.owners = np.array([], np.int64)
         if last_committed_epoch < 0:
             self.ckpt.prune_after(self.shard_id, -(2**62))
             return -1
@@ -231,36 +291,84 @@ class BandShardActor:
             return -1
         if committed_epochs is not None and sorted(found) != sorted(committed_epochs):
             return -1
-        parts = []
+        parts, owner_parts = [], []
         for e in sorted(found):
             snap = self.ckpt.load(self.shard_id, e)
             if str(snap.get("scheme", "")) != self.scheme:
                 return -1  # band keys from different knobs/hash: clean abort
             parts.append(snap["delta_keys"])
+            if self.verify:
+                if "delta_owners" not in snap:
+                    return -1  # pre-verify checkpoint format: clean abort
+                owner_parts.append(snap["delta_owners"])
         self.seen = np.concatenate(parts) if parts else np.array([], np.uint64)
+        if self.verify:
+            self.owners = (
+                np.concatenate(owner_parts) if owner_parts else np.array([], np.int64)
+            )
+            order = np.argsort(self.seen, kind="stable")
+            self.seen, self.owners = self.seen[order], self.owners[order]
         return max(found)
 
     def process_epoch(self, epoch: int, epoch_dir: str | None) -> np.ndarray:
-        """Flag this epoch's HIT doc ids (any of my band keys seen before, or
+        """Flag this epoch's HITS (any of my band keys seen before, or
         earlier-in-epoch by id); register ALL the epoch's keys. Returns the
-        unique hit ids (tiny: O(dropped docs touching this shard))."""
+        unique hit ids (tiny: O(dropped docs touching this shard)) — or, in
+        verify mode, unique (hit_id, owner_id) int64 pairs."""
         if epoch_dir is not None and os.path.isdir(epoch_dir):
             t = pq.read_table(epoch_dir, columns=[self.id_col, "band_key"])
         else:
             t = None
         if t is None or not t.num_rows:
-            self.ckpt.save(
-                self.shard_id,
-                epoch,
-                {"delta_keys": np.array([], np.uint64), "scheme": self.scheme},
+            delta = {"delta_keys": np.array([], np.uint64), "scheme": self.scheme}
+            if self.verify:
+                delta["delta_owners"] = np.array([], np.int64)
+            self.ckpt.save(self.shard_id, epoch, delta)
+            return (
+                np.empty((0, 2), np.int64) if self.verify else np.array([], np.int64)
             )
-            return np.array([], np.int64)
         keys = t["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids, keys))
         keys, ids = keys[order], ids[order]
         first_of_key = np.ones(len(keys), bool)
         first_of_key[1:] = keys[1:] != keys[:-1]
+        if self.verify:
+            pos = np.searchsorted(self.seen, keys)
+            safe = np.minimum(pos, max(len(self.seen) - 1, 0))
+            in_state = (
+                (pos < len(self.seen)) & (self.seen[safe] == keys)
+                if len(self.seen)
+                else np.zeros(len(keys), bool)
+            )
+            # within-epoch owner = first (smallest) id holding the key here;
+            # a key already in state keeps its original owner for ALL rows
+            grp = np.cumsum(first_of_key) - 1
+            epoch_first = ids[np.nonzero(first_of_key)[0]][grp]
+            owner = np.where(
+                in_state,
+                self.owners[safe] if len(self.owners) else 0,
+                epoch_first,
+            )
+            hit = in_state | ~first_of_key
+            new_mask = first_of_key & ~in_state
+            new_keys = keys[new_mask]
+            new_owners = ids[new_mask]
+            self.seen = np.concatenate([self.seen, new_keys])
+            self.owners = np.concatenate([self.owners, new_owners])
+            sort = np.argsort(self.seen, kind="stable")
+            self.seen, self.owners = self.seen[sort], self.owners[sort]
+            self.ckpt.save(
+                self.shard_id,
+                epoch,
+                {
+                    "delta_keys": new_keys,
+                    "delta_owners": new_owners,
+                    "scheme": self.scheme,
+                },
+            )
+            pairs = np.stack([ids[hit], owner[hit]], axis=1)
+            return np.unique(pairs, axis=0)
         seen_before = np.isin(keys, self.seen, assume_unique=False)
         # hit = key already in state (every holder) OR a smaller id holds the
         # same key within this epoch (every non-first holder)
@@ -276,6 +384,33 @@ class BandShardActor:
 
     def n_seen(self) -> int:
         return int(len(self.seen))
+
+
+@ray.remote
+class SketchShardActor:
+    """Verify-mode sketch store: doc_id -> minhash signature blob for the ids
+    routing to this shard (``_sketch_shard``). State is NOT checkpointed —
+    it is a deterministic function of the cached phase-0 sketch table, so
+    restore = re-register the committed epochs' partition dirs. O(docs *
+    n_perm * 8 B) per shard, the price of the precision gate; shards across
+    nodes on a real cluster."""
+
+    def __init__(self, shard_id: int, id_col: str):
+        self.shard_id = shard_id
+        self.id_col = id_col
+        self.sigs: dict[int, bytes] = {}
+
+    def register_epoch(self, epoch_dir: str | None) -> int:
+        if epoch_dir is None or not os.path.isdir(epoch_dir):
+            return 0
+        t = pq.read_table(epoch_dir, columns=[self.id_col, "sig"])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["sig"].to_pylist()
+        self.sigs.update(zip(ids.tolist(), blobs))
+        return t.num_rows
+
+    def lookup(self, ids: np.ndarray) -> dict[int, bytes]:
+        return {int(i): self.sigs[int(i)] for i in ids if int(i) in self.sigs}
 
 
 @ray.remote
@@ -321,27 +456,71 @@ class StreamingMinHashJob:
         self.sink = ExactlyOnceParquetSink(cfg.out_dir)
         self.ckpt_dir = os.path.join(cfg.work_dir, "mh_checkpoints")
 
+    def _verify_pairs(
+        self,
+        pairs: np.ndarray,
+        sketch_actors: list,
+        epoch: int,
+        sketch_refs: dict[int, list],
+    ) -> tuple[np.ndarray, int]:
+        """Jaccard-verify the epoch's (hit_id, owner_id) band collisions:
+        a hit is dropped only when its estimated Jaccard (fraction of equal
+        minhash components — the standard unbiased estimator) against SOME
+        colliding partner reaches ``verify_threshold``. Returns (dropped ids,
+        count of hits the gate rescued). Driver memory is O(epoch pairs)."""
+        cfg = self.cfg
+        if not len(pairs):
+            return np.array([], np.int64), 0
+        # barrier: this epoch's sketches are registered in the shard actors
+        ray.get(sketch_refs.pop(epoch))
+        uniq = np.unique(pairs)
+        route = _sketch_shard(uniq, cfg.n_shards)
+        lookups = ray.get(
+            [
+                sketch_actors[k].lookup.remote(uniq[route == k])
+                for k in range(cfg.n_shards)
+            ]
+        )
+        sigs: dict[int, bytes] = {}
+        for d in lookups:
+            sigs.update(d)
+        missing = [int(i) for i in uniq if int(i) not in sigs]
+        if missing:
+            # every banded doc has shingles, hence a phase-0 sketch row; a
+            # miss means the cached sketch table is inconsistent — fail loud
+            raise RuntimeError(f"verify: no sketch for doc ids {missing[:5]}")
+        n_perm = cfg.n_perm
+        sa = np.frombuffer(
+            b"".join(sigs[int(i)] for i in pairs[:, 0]), np.uint64
+        ).reshape(-1, n_perm)
+        sb = np.frombuffer(
+            b"".join(sigs[int(i)] for i in pairs[:, 1]), np.uint64
+        ).reshape(-1, n_perm)
+        est = (sa == sb).mean(axis=1)
+        dropped = np.unique(pairs[est >= cfg.verify_threshold, 0])
+        kept = int(len(np.unique(pairs[:, 0])) - len(dropped))
+        return dropped.astype(np.int64), kept
+
     def run(self, max_epochs: int | None = None) -> dict:
         cfg = self.cfg
+        verify = cfg.verify_threshold is not None
         committed = self.sink.committed_epochs()
         last_committed = committed[-1] if committed else -1
 
         shards = [
-            BandShardActor.remote(k, cfg.id_col, self.ckpt_dir, cfg.scheme())
+            BandShardActor.remote(
+                k, cfg.id_col, self.ckpt_dir, cfg.scheme(), verify=verify
+            )
             for k in range(cfg.n_shards)
         ]
         restore_refs = [s.restore.remote(last_committed, committed) for s in shards]
 
-        pay_dir, band_dir = partition_minhash_input(cfg)
-        epochs = sorted(
-            {
-                int(e.split("=")[1])
-                for sd in os.listdir(band_dir)
-                if sd.startswith("shard=")
-                for e in os.listdir(os.path.join(band_dir, sd))
-                if e.startswith("epoch=")
-            }
-        )
+        pay_dir, band_dir, n_epochs = partition_minhash_input(cfg)
+        # enumerate from the marker's n_epochs, NOT the band partition dirs:
+        # a zero-band epoch (all texts empty) writes no band epoch= dir, and
+        # a dir listing would silently skip its payload rows (ADVICE r4).
+        # process_epoch / emit_payload_shard treat a missing dir as empty.
+        epochs = list(range(n_epochs))
         if committed != epochs[: len(committed)]:
             raise RuntimeError(
                 "manifest set must be a prefix of the epoch sequence: "
@@ -369,19 +548,48 @@ class StreamingMinHashJob:
             ]
             for e in todo
         }
+        sketch_actors: list = []
+        sketch_refs: dict[int, list] = {}
+        if verify:
+            sketch_dir = os.path.join(cfg.work_dir, "mh_sketches")
+            sketch_actors = [
+                SketchShardActor.remote(k, cfg.id_col) for k in range(cfg.n_shards)
+            ]
+            # restore = re-register committed epochs (phase-0 output is a
+            # deterministic cached table — no sketch checkpoints needed),
+            # then pipeline the todo epochs; actor order serializes per shard
+            for e in [*committed, *todo]:
+                refs = [
+                    a.register_epoch.remote(
+                        os.path.join(sketch_dir, f"shard={k}", f"epoch={e}")
+                    )
+                    for k, a in enumerate(sketch_actors)
+                ]
+                if e in todo:
+                    sketch_refs[e] = refs
         stats = {
             "epochs_total": len(epochs),
             "epochs_skipped": len(committed),
             "epochs_processed": 0,
             "rows_emitted": 0,
             "rows_dropped": 0,
+            "rows_verify_kept": 0,
             "n_band_keys": 0,
         }
         for e in todo:
             hits = ray.get(band_refs.pop(e))
-            dropped = (
-                np.unique(np.concatenate(hits)) if hits else np.array([], np.int64)
-            )
+            if verify:
+                pairs = (
+                    np.concatenate(hits)
+                    if hits and sum(len(h) for h in hits)
+                    else np.empty((0, 2), np.int64)
+                )
+                dropped, kept = self._verify_pairs(pairs, sketch_actors, e, sketch_refs)
+                stats["rows_verify_kept"] += kept
+            else:
+                dropped = (
+                    np.unique(np.concatenate(hits)) if hits else np.array([], np.int64)
+                )
             dref = ray.put(dropped)
             parts = ray.get(
                 [
@@ -402,7 +610,7 @@ class StreamingMinHashJob:
             stats["rows_emitted"] += sum(p["rows"] for p in parts)
             stats["rows_dropped"] += int(len(dropped))
         stats["n_band_keys"] = sum(ray.get([s.n_seen.remote() for s in shards]))
-        for s in shards:
+        for s in [*shards, *sketch_actors]:
             ray.kill(s)
         with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
             json.dump(stats, f)

@@ -798,18 +798,17 @@ class MinHashStage:
             h = h * np.uint64(1_000_003) + band[:, j]
         return self._fold_band_keys(h[None, :])[0]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def signatures_batch(self, batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """Batch signatures: ``(ids int64[n], sig uint64[n, n_perm])`` for the
+        docs with at least one shingle (empty texts are dropped — they have
+        no bands and can never collide). Shared by ``__call__`` and the
+        streaming verify gate's sketch table."""
         doc_ids_rep, counts, flat = _batch_shingle_hashes(
             batch, self.k, self.text_col, self.id_col, self.hash_fn
         )
         keep = counts > 0
         if not keep.any():
-            return pd.DataFrame(
-                {
-                    "doc_id": np.array([], np.int64),
-                    "band_key": np.array([], np.uint64),
-                }
-            )
+            return np.array([], np.int64), np.empty((0, self.n_perm), np.uint64)
         # per-doc segment boundaries into the flat hash array
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[keep]
         ids = np.asarray(batch[self.id_col], np.int64)[keep]
@@ -820,6 +819,18 @@ class MinHashStage:
         for p in range(self.n_perm):
             vals = (flat * self.a[p] + self.b[p]) % MERSENNE
             sig[:, p] = np.minimum.reduceat(vals, starts)
+        return ids, sig
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, sig = self.signatures_batch(batch)
+        if not len(ids):
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], np.int64),
+                    "band_key": np.array([], np.uint64),
+                }
+            )
+        n_docs = len(ids)
         # band hashes: polynomial combine of each band's r rows, vectorized,
         # then the band index folded in -> one uint64 key per (doc, band)
         band = sig.reshape(n_docs, self.bands, self.r)
