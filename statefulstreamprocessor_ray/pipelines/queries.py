@@ -9,6 +9,7 @@ comparison sorts columns by name and hashes values).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -786,17 +787,37 @@ def q_url_domains(sf_dir):
     """Per-domain URL stats (domain, n_urls, n_docs): the
     blocklist-reconnaissance pass; distributed as per-batch partial counts
     + one (domain)-keyed group-sum exchange. The driver testdata contains
-    no URLs, so this is a zero-row result here (the value-level check
-    lives in test_curation.py over a synthetic URL corpus) — returned as a
-    schema-pinned Arrow table because a zero-row Ray Dataset loses its
-    column names through to_pandas()."""
+    no URLs, which made the r4 oracle check vacuously green (0 vs 0 rows —
+    VERDICT r4 #3), so the query derives a deterministic URL-bearing text
+    column from doc_id INSIDE both the engine input and the oracle CTE
+    (the lsh_topk baked-constant precedent): every doc gains one
+    ``http://site<id%37>.example.com`` URL and every third doc a second
+    ``https://cdn<id%11>.example.org`` one, exercising the extractor,
+    the per-domain sums and the distinct-doc counts on real rows."""
     from statefulstreamprocessor_ray.stages.curation import url_domain_stats
 
+    def with_urls(b: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.Series(
+            np.asarray(b["doc_id"], np.int64), index=b.index
+        )
+        text = (
+            b["text"].fillna("")
+            + " http://site"
+            + (ids % 37).astype(str)
+            + ".example.com/d"
+            + ids.astype(str)
+        )
+        second = " https://cdn" + (ids % 11).astype(str) + ".example.org/x"
+        text = text + second.where(ids % 3 == 0, "")
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        with_urls, batch_format="pandas"
+    )
     schema = pa.schema(
         [("domain", pa.string()), ("n_urls", pa.int64()), ("n_docs", pa.int64())]
     )
-    out = url_domain_stats(_documents(sf_dir, columns=["doc_id", "text"]))
-    df = out.to_pandas()
+    df = url_domain_stats(docs).to_pandas()
     if df.empty:
         return schema.empty_table()
     return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
@@ -2162,11 +2183,21 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
 FROM s GROUP BY 1
 """
 
-# url_domains: same URL regex as the scrubber, domain = lowercased authority
+# url_domains: same URL regex as the scrubber, domain = lowercased authority.
+# The docs CTE mirrors q_url_domains' derived URL column byte-for-byte (the
+# driver testdata is URL-free; without it the check is vacuous 0-vs-0 rows).
 ORACLE_SQL["url_domains"] = r"""
-WITH u AS (
-  SELECT doc_id, unnest(regexp_extract_all(coalesce(text,''), 'https?://[^\s]+')) AS url
+WITH docs AS (
+  SELECT doc_id,
+         coalesce(text,'') || ' http://site' || CAST(doc_id % 37 AS VARCHAR)
+           || '.example.com/d' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' https://cdn' || CAST(doc_id % 11 AS VARCHAR) || '.example.org/x'
+                   ELSE '' END AS text
   FROM documents
+), u AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text,''), 'https?://[^\s]+')) AS url
+  FROM docs
 ), d AS (
   SELECT doc_id, lower(regexp_extract(url, '^https?://([^/\s?#]+)', 1)) AS domain FROM u
 )

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -359,7 +361,8 @@ SCRUB_PATTERNS = {
 
 # domain = the URL's authority component: everything after :// up to the
 # first /, ?, # or whitespace. RE2- and Python-re-compatible like
-# SCRUB_PATTERNS, so the DuckDB oracle applies literally the same regex.
+# SCRUB_PATTERNS, so the DuckDB oracle applies literally the same regex —
+# PROVIDED the Python side compiles with re.ASCII (RE2's \s is ASCII-only).
 URL_DOMAIN_PATTERN = r"^https?://([^/\s?#]+)"
 
 
@@ -384,7 +387,11 @@ def url_domain_stats(
     oracle side."""
     from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
 
-    upat = url_pattern or SCRUB_PATTERNS["url"]
+    # re.ASCII on both expressions: RE2's \s is ASCII-only, Python's is
+    # Unicode-aware, so an uncompiled `[^\s]+` / `[^/\s?#]+` diverges from
+    # the DuckDB oracle on NBSP-style whitespace (ADVICE r4)
+    upat = re.compile(url_pattern or SCRUB_PATTERNS["url"], re.ASCII)
+    dpat = re.compile(URL_DOMAIN_PATTERN, re.ASCII)
 
     def partial(batch: pd.DataFrame) -> pa.Table:
         # Arrow-typed output (incl. the empty batch) so the exchange carries
@@ -400,7 +407,7 @@ def url_domain_stats(
         urls = s.str.findall(upat).explode().dropna()
         if urls.empty:
             return empty
-        dom = urls.str.extract(URL_DOMAIN_PATTERN, expand=False).str.lower()
+        dom = urls.str.extract(dpat, expand=False).str.lower()
         keep = dom.notna() & (dom != "")
         if not keep.any():
             return empty
@@ -469,7 +476,11 @@ def scrub_text_batch(
         out[c] = batch[c].to_numpy()
     counts = {}
     for name, p in patterns.items():
-        rx = re.compile(p)  # per-process cache makes this free after one
+        # re.ASCII: DuckDB RE2's \s is ASCII-only while Python's is
+        # Unicode-aware — `[^\s]+` would diverge from the oracle on
+        # NBSP-style whitespace without it (ADVICE r4; the BPE_PATTERN
+        # guard in stages/text.py is the same class)
+        rx = re.compile(p, re.ASCII)  # per-process cache makes this free
         counts[f"n_{name}"] = s.str.count(rx).to_numpy(np.int64)
         s = s.str.replace(rx, f"<{name.upper()}>", regex=True)
     out[text_col] = s

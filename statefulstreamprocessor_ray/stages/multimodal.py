@@ -82,7 +82,16 @@ class DecodeStage:
 
             arr = np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
             return arr if arr.ndim == 3 else arr[:, :, None]
-        return self._decode_png(payload)
+        # normalize the pngcodec path to the SAME convention as the PIL path
+        # (always 3-channel RGB, alpha dropped, gray widened) so real-mode
+        # output is reproducible whether or not PIL is importable (ADVICE r4)
+        arr = self._decode_png(payload)
+        if arr.shape[2] == 1:  # gray -> RGB
+            return np.repeat(arr, 3, axis=2)
+        if arr.shape[2] == 4:  # RGBA -> RGB: PIL convert("RGB") drops alpha
+            # without compositing, so match that exactly
+            return np.ascontiguousarray(arr[:, :, :3])
+        return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_bytes = pc.binary_length(batch["payload"]).to_numpy(zero_copy_only=False).astype(np.int64)

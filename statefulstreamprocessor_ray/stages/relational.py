@@ -134,32 +134,58 @@ def _ensure_schema_broadcast_patch() -> None:
     if _SCHEMA_BROADCAST_PATCHED:
         return
     _SCHEMA_BROADCAST_PATCHED = True
+    # Version-gated (ADVICE r4): the patch rides private Ray internals that
+    # were verified on 2.49.x only. On any other Ray, or if the expected
+    # attributes are gone, WARN instead of silently no-opping — an upgrade
+    # should surface the possible regression, not rely on test luck.
+    import logging
+    import warnings
+
+    import ray as _ray
+
+    def _absent(why: str) -> None:
+        msg = (
+            "statefulstreamprocessor_ray: hash-shuffle-join schema-broadcast "
+            f"patch NOT applied ({why}; ray=={_ray.__version__}). Zero-row "
+            "first blocks may resurface the Acero 'No match for key field "
+            "reference' race — re-verify tests/test_relational.py on this "
+            "Ray version."
+        )
+        warnings.warn(msg, RuntimeWarning)
+        logging.getLogger(__name__).warning(msg)
+
+    if not _ray.__version__.startswith("2.49."):
+        _absent("untested Ray version")
+        return
     try:
         from ray.data._internal.execution.operators.hash_shuffle import (
             HashShufflingOperatorBase as _Op,
         )
+    except ImportError:
+        _absent("internal module moved")
+        return
+    orig = getattr(_Op, "_do_add_input_inner", None)
+    if orig is None:
+        _absent("_do_add_input_inner is gone")
+        return
+    if getattr(orig, "_ssp_schema_broadcast_fix", False):
+        return
 
-        orig = _Op._do_add_input_inner
-        if getattr(orig, "_ssp_schema_broadcast_fix", False):
-            return
+    def patched(self, input_bundle, input_index):
+        flags = getattr(self, "_has_schemas_broadcasted", None)
+        was = flags[input_index] if flags is not None else True
+        orig(self, input_bundle, input_index)
+        if (
+            flags is not None
+            and not was
+            and not any(
+                (m.num_rows or 0) > 0 for m in input_bundle.metadata
+            )
+        ):
+            flags[input_index] = False
 
-        def patched(self, input_bundle, input_index):
-            flags = getattr(self, "_has_schemas_broadcasted", None)
-            was = flags[input_index] if flags is not None else True
-            orig(self, input_bundle, input_index)
-            if (
-                flags is not None
-                and not was
-                and not any(
-                    (m.num_rows or 0) > 0 for m in input_bundle.metadata
-                )
-            ):
-                flags[input_index] = False
-
-        patched._ssp_schema_broadcast_fix = True
-        _Op._do_add_input_inner = patched
-    except Exception:
-        pass
+    patched._ssp_schema_broadcast_fix = True
+    _Op._do_add_input_inner = patched
 
 
 def partitioned_join(

@@ -35,6 +35,16 @@ PUNCT_CLASS = r"[.!?,;:]"
 BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
 
 
+def _int_bincount(codes: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
+    """Exact int64 weighted bincount. ``np.bincount(weights=...)``
+    accumulates in float64 and is only exact below 2^53; the surprisal
+    pipeline's associativity/oracle-parity argument needs unconditional
+    integer sums (ADVICE r4), which ``np.add.at`` on an int64 buffer gives."""
+    out = np.zeros(n, np.int64)
+    np.add.at(out, codes, np.asarray(weights, np.int64))
+    return out
+
+
 def _hex128(texts: pd.Series) -> np.ndarray:
     """Vectorized 32-hex-char fingerprints from content_hash128 (the repo's
     canonical 128-bit SipHash identity): two hash_array calls, one hexlify of
@@ -548,11 +558,14 @@ def bigram_surprisal(
         )
 
     def attach_counts(g: pd.DataFrame) -> pa.Table:
-        pair_codes, _ = pd.factorize(g["h12"], sort=False)
+        # _int_bincount, not np.bincount(weights=...): bincount accumulates
+        # weights in float64, exact only below 2^53 — int64 np.add.at keeps
+        # the associativity claim unconditional (ADVICE r4)
+        pair_codes, pu = pd.factorize(g["h12"], sort=False)
         tf = g["tf"].to_numpy(np.int64)
-        c12 = np.bincount(pair_codes, weights=tf).astype(np.int64)[pair_codes]
-        w1_codes, _ = pd.factorize(g["h1"], sort=False)
-        c1 = np.bincount(w1_codes, weights=tf).astype(np.int64)[w1_codes]
+        c12 = _int_bincount(pair_codes, tf, len(pu))[pair_codes]
+        w1_codes, wu = pd.factorize(g["h1"], sort=False)
+        c1 = _int_bincount(w1_codes, tf, len(wu))[w1_codes]
         sm = np.round(np.log(c1.astype(np.float64) / c12) * 1e6).astype(
             np.int64
         )
@@ -567,9 +580,8 @@ def bigram_surprisal(
     def doc_sum(g: pd.DataFrame) -> pa.Table:
         codes, uniq = pd.factorize(g[id_col], sort=False)
         tf = g["tf"].to_numpy(np.int64)
-        micro = np.bincount(codes, weights=tf * g["sm"].to_numpy(np.int64))
-        micro = micro.astype(np.int64)
-        nb = np.bincount(codes, weights=tf).astype(np.int64)
+        micro = _int_bincount(codes, tf * g["sm"].to_numpy(np.int64), len(uniq))
+        nb = _int_bincount(codes, tf, len(uniq))
         # NO decimal rounding here: IEEE division is correctly rounded, so
         # the identical micro/nb/1e6 chain yields bit-identical doubles in
         # numpy and DuckDB — while round-to-6 DIVERGES on exact decimal
@@ -600,9 +612,9 @@ def bigram_surprisal(
                 {
                     "h1": pa.array(np.asarray(uniq, np.uint64), pa.uint64()),
                     "cfp": pa.array(
-                        np.bincount(
-                            codes, weights=b["tf"].to_numpy(np.int64)
-                        ).astype(np.int64),
+                        _int_bincount(
+                            codes, b["tf"].to_numpy(np.int64), len(uniq)
+                        ),
                         pa.int64(),
                     ),
                 }

@@ -157,3 +157,23 @@ def test_real_mode_rejects_non_image_media():
     )
     with pytest.raises(NotImplementedError):
         stage(batch)
+
+
+def test_real_decode_normalizes_gray_and_rgba_to_rgb():
+    """ADVICE r4: both real-decode paths (PIL / in-repo pngcodec) must yield
+    ONE convention — 3-channel RGB, alpha dropped without compositing, gray
+    widened — so real-mode output is environment-independent."""
+    from statefulstreamprocessor_ray.stages.multimodal import DecodeStage
+
+    stage = DecodeStage(mode="real")
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+
+    g = stage._decode_one(encode_png(gray), "image/png")
+    assert g.shape == (5, 7, 3)
+    assert (g == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+    a = stage._decode_one(encode_png(rgba), "image/png")
+    assert a.shape == (4, 6, 3)
+    assert (a == rgba[:, :, :3]).all()  # alpha dropped, not composited
