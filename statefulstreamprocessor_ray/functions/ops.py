@@ -155,6 +155,41 @@ def shard_by_key(
     return ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def default_exchange() -> str:
+    """Re-export of :func:`stages.exchange.default_exchange` (the
+    ``SSP_CORE_EXCHANGE`` A/B knob)."""
+    from statefulstreamprocessor_ray.stages.exchange import default_exchange as de
+
+    return de()
+
+
+def shard_map(
+    ds: ray.data.Dataset,
+    key_cols: str | list[str],
+    fn,
+    n_shards: int | None = None,
+    exchange: str | None = None,
+    num_cpus: float = 1,
+    batch_format: str = "pyarrow",
+) -> ray.data.Dataset:
+    """THE shared shard-vectorized exchange+map: tag ``_shard`` via
+    :func:`shard_by_key`, then route through
+    ``stages/exchange.shard_exchange_map`` — "auto" (default) measures the
+    payload and takes the single-task local path under ~32 MB or the sort
+    shuffle above it; "sort"/"hash" force a plan (see the routing verdict
+    in shard_exchange_map's docstring for the measurements).
+
+    fn contract: a Table/frame holding a UNION of complete key groups with
+    the ``_shard`` column still attached — every caller fn groups by its
+    real keys internally (they are shard-vectorized by design)."""
+    from statefulstreamprocessor_ray.stages.exchange import shard_exchange_map
+
+    sharded = shard_by_key(ds, key_cols, n_shards)
+    return shard_exchange_map(
+        sharded, fn, exchange=exchange, num_cpus=num_cpus, batch_format=batch_format
+    )
+
+
 def order_check(
     ds: ray.data.Dataset,
     key_col: str = "user_id",
@@ -197,9 +232,7 @@ def order_check(
             }
         )
 
-    return shard_by_key(ds, key_col).groupby("_shard").map_groups(
-        fn, batch_format="pyarrow"
-    )
+    return shard_map(ds, key_col, fn)
 
 
 def power_join_projection(
@@ -274,8 +307,4 @@ def sharded_group_sum(
         out = g.groupby(keys, sort=False, as_index=False)[list(sums)].sum()
         return out.rename(columns=sums)
 
-    return (
-        shard_by_key(ds, keys, n_shards)
-        .groupby("_shard")
-        .map_groups(agg, batch_format="pandas")
-    )
+    return shard_map(ds, keys, agg, n_shards, batch_format="pandas")

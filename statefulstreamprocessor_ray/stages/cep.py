@@ -208,6 +208,7 @@ def detect_absence(
     event_col: str = "event_type",
     tie_col: str = "event_id",
     n_shards: int | None = None,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """CEP absence / timeout pattern: every ``first`` event NOT followed by an
     ``absent`` event of the same key within ``within_s`` seconds (ties: an
@@ -217,23 +218,9 @@ def detect_absence(
     NOTE: on an unbounded stream this fires once the watermark passes
     ts+within; in this batch/replay form the end of input is the horizon.
     """
-    import ray as _ray
+    from statefulstreamprocessor_ray.functions.ops import shard_map
 
     within_us = int(within_s * US)
-    if n_shards is None:
-        # 8 shards/core: see stages/join.py — low-cardinality shard keys
-        # collapse the sort shuffle's sampled partition boundaries
-        try:
-            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-        except Exception:
-            n_shards = 64
-
-    def add_shard(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pandas()
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-        return b.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
 
     def fn(group: pa.Table) -> pa.Table:
         return _absence_group(
@@ -247,8 +234,7 @@ def detect_absence(
             tie_col,
         )
 
-    tagged = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return tagged.groupby("_shard").map_groups(fn, batch_format="pyarrow")
+    return shard_map(ds, key_col, fn, n_shards, exchange=exchange)
 
 
 def match_sequence(
@@ -261,6 +247,7 @@ def match_sequence(
     tie_col: str = "event_id",
     n_shards: int | None = None,
     contiguity: str = "strict",
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Detect ``pattern`` per key (see module docstring for the two
     contiguity modes).
@@ -272,24 +259,9 @@ def match_sequence(
         raise ValueError("pattern must have at least one step")
     if contiguity not in ("strict", "skip"):
         raise ValueError("contiguity must be 'strict' or 'skip'")
-    import ray as _ray
+    from statefulstreamprocessor_ray.functions.ops import shard_map
 
     within_us = int(within_s * US) if within_s is not None else None
-    if n_shards is None:
-        # 8 shards/core: see stages/join.py — low-cardinality shard keys
-        # collapse the sort shuffle's sampled partition boundaries
-        try:
-            n_shards = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 8)
-        except Exception:
-            n_shards = 64
-
-    def add_shard(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pandas()
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
-        return b.append_column(
-            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
-        )
-
     pat = list(pattern)
 
     def fn(group: pa.Table) -> pa.Table:
@@ -304,5 +276,4 @@ def match_sequence(
             contiguity,
         )
 
-    tagged = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return tagged.groupby("_shard").map_groups(fn, batch_format="pyarrow")
+    return shard_map(ds, key_col, fn, n_shards, exchange=exchange)

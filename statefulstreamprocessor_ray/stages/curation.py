@@ -299,10 +299,27 @@ def pack_sequences(
         out["pack_tokens_before"] = before
         return out
 
-    return (
-        chunks.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(pack_bucket, batch_format="pandas")
+    def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # the linear hash exchange co-locates SEVERAL complete buckets per
+        # partition; pack ids are per-bucket, so pack each independently
+        parts = [pack_bucket(sub) for _, sub in g.groupby("bucket", sort=True)]
+        if not parts:
+            empty = pd.DataFrame(
+                {c: [] for c in ("bucket", id_col, idx_col, tokens_col)}
+            )
+            empty["pack_id"] = pd.Series([], dtype=np.int64)
+            empty["pack_tokens_before"] = pd.Series([], dtype=np.int64)
+            return empty
+        return pd.concat(parts, ignore_index=True)
+
+    from statefulstreamprocessor_ray.stages.exchange import keyed_repartition
+
+    bucketed = chunks.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # "bucket" is already a fixed-width int32 key: repartition on it directly
+    return keyed_repartition(bucketed, ["bucket"]).map_batches(
+        pack_partition, batch_format="pandas", batch_size=None
     )
 
 
@@ -318,10 +335,10 @@ def render_conversations(
 ) -> ray.data.Dataset:
     """Render each conversation to one training document: turns in
     (ts, tie) order, lines formatted ``role: text``, joined by ``sep``.
-    Shard-vectorized like the session operators (hash(key) % P, one task per
-    shard, one pandas group-agg per shard — no per-key tasks).
+    Shard-vectorized like the session operators (hash(key) % P, one linear
+    hash exchange, one pandas group-agg per partition — no per-key tasks).
     Output: (key, n_turns, rendered)."""
-    from statefulstreamprocessor_ray.functions.ops import shard_by_key
+    from statefulstreamprocessor_ray.functions.ops import shard_map
 
     def render_shard(g: pa.Table) -> pd.DataFrame:
         g = g.drop_columns(["_shard"])
@@ -347,9 +364,7 @@ def render_conversations(
     pruned = transcripts.select_columns(
         [key_col, ts_col, tie_col, role_col, text_col]
     )
-    return shard_by_key(pruned, key_col, n_shards).groupby("_shard").map_groups(
-        render_shard, batch_format="pyarrow"
-    )
+    return shard_map(pruned, key_col, render_shard, n_shards)
 
 SCRUB_PATTERNS = {
     # RE2-compatible AND Python-re-compatible (no lookaround), so the engine

@@ -1250,6 +1250,8 @@ def embedding_dup_pairs(
     train_sample: int = 65536,
     seed: int = 23,
     block: int = 2048,
+    force: bool = False,
+    exact_row_limit: int = 5_000_000,
 ) -> pa.Table:
     """Pairs with cosine similarity >= threshold over a list<float> column.
 
@@ -1296,8 +1298,20 @@ def embedding_dup_pairs(
         # the driver keeps ObjectRefs only — the concat+normalize runs in a
         # worker task and its result is the broadcast object
         mat = sel.materialize()
+        n_rows = mat.count()
+        # O(n^2) job-killer guard (VERDICT r4 #6): exact mode is the correct
+        # DEFAULT semantics (every qualifying pair), but an accidental exact
+        # run over 10^8+ rows is ~n^2*dim FLOPs — at 5M x 5M x 128 dims
+        # that is already ~3.2e15 multiply-adds. Make the cliff explicit.
+        if n_rows > exact_row_limit and not force:
+            raise ValueError(
+                f"embedding_dup_pairs(mode='exact') over {n_rows:,} rows is "
+                f"an O(n^2) all-pairs job (limit {exact_row_limit:,}). Pass "
+                "mode='ivf' (the probabilistic scale path), raise "
+                "exact_row_limit, or pass force=True if you really mean it."
+            )
         block_refs = list(mat.to_arrow_refs())
-        if not block_refs or mat.count() == 0:
+        if not block_refs or n_rows == 0:
             return pa.table(
                 {
                     "vec_a": pa.array([], pa.int64()),

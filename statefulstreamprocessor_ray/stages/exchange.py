@@ -171,6 +171,99 @@ def hash_shuffle_window(
         ) = saved
 
 
+def keyed_repartition(
+    ds: ray.data.Dataset,
+    keys: Iterable[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Materialized linear hash exchange: materialize ``ds`` (measuring it),
+    size the exchange from the measured bytes, and hash-repartition on
+    ``keys`` so each key's rows land complete in exactly one output block.
+    Returns a MATERIALIZED dataset: callers follow with ``map_batches(fn,
+    batch_size=None)`` OUTSIDE any strategy window — the aggregators emit
+    one block per partition (contract pinned in tests/test_exchange.py), so
+    batch_size=None sees whole partitions. The sub-partition payload case
+    collapses to a single coalesced block — no shuffle actors at all.
+
+    fn contract vs map_groups: fn receives a UNION of complete key groups
+    (many shard values per partition), so it must group by the real keys
+    internally."""
+    mat = ds.materialize()
+    sz = mat.size_bytes()
+    if small_exchange(sz):
+        return mat.repartition(1).materialize()
+    n = sized_hash_partitions(sz) if num_partitions is None else num_partitions
+    with hash_shuffle_window(mat, n):
+        return mat.repartition(num_blocks=n, keys=list(keys)).materialize()
+
+
+def default_exchange() -> str:
+    """Core-stage exchange default: "auto" unless overridden via
+    ``SSP_CORE_EXCHANGE`` ("auto" | "sort" | "hash") — the A/B knob the
+    scaling/volume probes flip without code edits."""
+    import os
+
+    return os.environ.get("SSP_CORE_EXCHANGE", "auto")
+
+
+def shard_exchange_map(
+    tagged: ray.data.Dataset,
+    fn: Callable,
+    exchange: str | None = None,
+    num_cpus: float = 1,
+    batch_format: str = "pyarrow",
+    shard_col: str = "_shard",
+) -> ray.data.Dataset:
+    """THE routing step for the core shard-vectorized event stages (flagship
+    ordered join, as-of, sessions, windowed join, CEP, group-sum): take a
+    ``_shard``-tagged dataset, co-locate each shard's rows, run ``fn`` once
+    per partition. Routes (``exchange=None`` -> :func:`default_exchange`):
+
+    - ``"auto"`` (default): materialize once — the measurement IS the
+      router. Payloads at or under one target partition (~32 MB) run as a
+      single coalesced task (no shuffle at all; measured 1.20 s -> 0.76 s
+      on the sf0.1 windowed join); everything larger runs Ray's SORT
+      shuffle over the int32 shard key on the already-materialized input
+      (measured FASTER than the streaming sort: 1.78 s vs 1.89 s at 10M
+      turns, 3.41 s vs 3.97 s at 40M turns, 32 CPUs).
+    - ``"sort"``: the r4 streaming plan, ``groupby(_shard).map_groups``.
+    - ``"hash"``: the linear hash repartition (:func:`keyed_repartition`).
+
+    Routing verdict (round 5, refuting the r4 hypothesis that the sort
+    shuffle's coordination floor binds the core stages' 8->32 scaling):
+    the HASH exchange measured at the flagship's own volume points is
+    strictly worse — 40M turns, 32 CPUs: 10.3-11.7 s end-to-end (exchange
+    alone 5.4-7.1 s at ~250 MB/s aggregator throughput + ~2 s actor-fleet
+    spin-up, invariant under partition/aggregator sweeps: (46,11) 5.38 s
+    was the best of (n, aggs) in {8..256}x{3..32}) vs the sort's 3.4-4.0 s
+    end-to-end; 8->32 efficiency 0.48 (hash) vs ~0.8 (sort). The sort is
+    superlinear only on huge/skewed exchanges (the dedup candidate tables,
+    763 s at 20 GiB) — THOSE stay on the hash layer; these low-cardinality
+    int32-keyed medium exchanges are exactly where the sort is at its
+    best. fn must handle a UNION of complete key groups in every mode
+    ("auto" small path and "hash" pack many shards per call)."""
+    if exchange is None:
+        exchange = default_exchange()
+    if exchange == "sort":
+        return tagged.groupby(shard_col).map_groups(
+            fn, batch_format=batch_format, num_cpus=num_cpus
+        )
+    if exchange == "hash":
+        return keyed_repartition(tagged, [shard_col]).map_batches(
+            fn, batch_format=batch_format, batch_size=None, num_cpus=num_cpus
+        )
+    if exchange != "auto":
+        raise ValueError(f"exchange must be auto|sort|hash, got {exchange!r}")
+    mat = tagged.materialize()
+    if small_exchange(mat.size_bytes()):
+        return mat.repartition(1).map_batches(
+            fn, batch_format=batch_format, batch_size=None, num_cpus=num_cpus
+        )
+    return mat.groupby(shard_col).map_groups(
+        fn, batch_format=batch_format, num_cpus=num_cpus
+    )
+
+
 def hash_partitioned_map(
     ds: ray.data.Dataset,
     keys: Iterable[str],

@@ -200,14 +200,22 @@ def ordered_join_events(
     num_cpus: float = 1,
     hot_key_threshold: int | None = None,
     hot_chunk_rows: int = 250_000,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Join an already-tagged event stream (has ``stream_side``).
 
     Physical plan: one map_batches adds ``_shard = hash(key) % P`` (P defaults
-    to 2x cluster CPUs), then a single int-keyed shuffle co-locates each key's
-    rows, and each shard replays all its keys in one vectorized call — the
-    explicit partitioned-join pattern (cheaper than a per-key groupby when
-    keys number in the millions).
+    to 2x cluster CPUs), then a single int-keyed exchange co-locates each
+    key's rows, and each partition replays all its keys in one vectorized
+    call — the explicit partitioned-join pattern (cheaper than a per-key
+    groupby when keys number in the millions).
+
+    ``exchange``: routed via ``stages/exchange.shard_exchange_map`` —
+    "auto" (default) measures the tagged payload and takes the single-task
+    local path under ~32 MB or the sort shuffle (on the materialized
+    input) above it; "sort"/"hash" force a plan. The round-5 measurements
+    behind the routing (hash refuted at the flagship's own volume points)
+    live in shard_exchange_map's docstring.
 
     Skew: with ``hot_key_threshold`` set, keys whose row count exceeds it are
     routed through :func:`salted_hot_key_join` — time-chunked with exact
@@ -247,7 +255,7 @@ def ordered_join_events(
             )
             cold_out = ordered_join_events(
                 cold, key_col, ts_col, tie_col, payload_cols, delta_time,
-                n_shards, num_cpus, hot_key_threshold=None,
+                n_shards, num_cpus, hot_key_threshold=None, exchange=exchange,
             )
             hot_out = salted_hot_key_join(
                 hot_ds, key_col, ts_col, tie_col, payload_cols, delta_us,
@@ -305,9 +313,9 @@ def ordered_join_events(
     )
     events = events.select_columns(needed)
     tagged = events.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return tagged.groupby("_shard").map_groups(
-        fn, batch_format="pyarrow", num_cpus=num_cpus
-    )
+    from statefulstreamprocessor_ray.stages.exchange import shard_exchange_map
+
+    return shard_exchange_map(tagged, fn, exchange=exchange, num_cpus=num_cpus)
 
 
 def salted_hot_key_join(
@@ -678,18 +686,20 @@ def asof_join_tagged(
     right_cols: Sequence[str] = ("text",),
     side_col: str = "stream_side",
     n_shards: int | None = None,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Per-key as-of join: each left record (side 0) matched with the latest
     right record (side 1) at-or-before its timestamp; ties among right records
     resolve to the last in (ts, tie) order.
 
     Physical plan: the same ``_shard = hash(key) % P`` exchange as
-    ``ordered_join_events`` (ONE task per shard, not one per key — per-group
-    task overhead is the millions-of-keys trap), then a single vectorized
-    multi-key as-of inside each shard: sort by (key, ts, tie), then one
-    merged lexsort of right rows and left probes counts, for every probe,
-    the right rows lexicographically at-or-before it — a segmented
-    ``searchsorted`` across ALL keys at once."""
+    ``ordered_join_events`` (ONE task per partition, not one per key —
+    per-group task overhead is the millions-of-keys trap; linear hash
+    exchange by default, ``exchange="sort"`` = the old map_groups plan),
+    then a single vectorized multi-key as-of inside each partition: sort by
+    (key, ts, tie), then one merged lexsort of right rows and left probes
+    counts, for every probe, the right rows lexicographically at-or-before
+    it — a segmented ``searchsorted`` across ALL keys at once."""
     import pandas as pd
 
     from statefulstreamprocessor_ray.functions.ops import shard_by_key
@@ -751,9 +761,9 @@ def asof_join_tagged(
             )
         return pa.table(cols)
 
-    return shard_by_key(tagged, key_col, n_shards).groupby("_shard").map_groups(
-        fn, batch_format="pyarrow"
-    )
+    from statefulstreamprocessor_ray.functions.ops import shard_map
+
+    return shard_map(tagged, key_col, fn, n_shards, exchange=exchange)
 
 
 def ordered_join(

@@ -97,13 +97,21 @@ def assign_sliding(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _session_shards(ds: ray.data.Dataset, key_col: str, n_shards: int | None):
+def _session_map(
+    ds: ray.data.Dataset,
+    key_col: str,
+    n_shards: int | None,
+    fn,
+    exchange: str | None = None,
+):
     """The ordered-join `_shard` exchange — hash(key) % P, ONE task per
-    shard — instead of one task per key (the per-group-overhead trap at
-    millions of keys). Delegates to the shared shard_by_key helper."""
-    from statefulstreamprocessor_ray.functions.ops import shard_by_key
+    partition — instead of one task per key (the per-group-overhead trap at
+    millions of keys). Delegates to the shared shard_map helper ("auto"
+    routing by default: measured local path under ~32 MB, sort above;
+    see stages/exchange.shard_exchange_map)."""
+    from statefulstreamprocessor_ray.functions.ops import shard_map
 
-    return shard_by_key(ds, key_col, n_shards)
+    return shard_map(ds, key_col, fn, n_shards, exchange=exchange)
 
 
 def _session_breaks(group: pa.Table, gap_us: int, key_col: str, ts_col: str):
@@ -133,6 +141,7 @@ def assign_session_ids(
     key_col: str = "conv_id",
     ts_col: str = "ts",
     n_shards: int | None = None,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Per-key session windows: a new session starts when the gap to the
     previous event exceeds ``gap_s``. Session ids restart at 0 per key;
@@ -148,9 +157,7 @@ def assign_session_ids(
         base = np.repeat(sid[newk], key_counts)
         return group.append_column("session_id", pa.array(sid - base, pa.int64()))
 
-    return _session_shards(ds, key_col, n_shards).groupby("_shard").map_groups(
-        fn, batch_format="pyarrow"
-    )
+    return _session_map(ds, key_col, n_shards, fn, exchange=exchange)
 
 
 def session_windows(
@@ -159,6 +166,7 @@ def session_windows(
     key_col: str = "conv_id",
     ts_col: str = "ts",
     n_shards: int | None = None,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Per-session summaries (key, session_id, session_start, session_end, n_rows),
     computed in the same per-shard pass as the assignment (no second shuffle)."""
@@ -187,9 +195,7 @@ def session_windows(
             }
         )
 
-    return _session_shards(ds, key_col, n_shards).groupby("_shard").map_groups(
-        fn, batch_format="pyarrow"
-    )
+    return _session_map(ds, key_col, n_shards, fn, exchange=exchange)
 
 
 def interpolation_join_group(
@@ -355,13 +361,15 @@ def windowed_interpolation_join(
     ts_col: str = "ts",
     tie_col: str = "turn_idx",
     n_shards: int | None = None,
+    exchange: str | None = None,
     **mode_cols,
 ) -> ray.data.Dataset:
     """Flink-pendant windowed join over a tagged (stream_side) event Dataset.
 
     ``slide_s=None`` gives tumbling windows. Physical plan: hash-bucket
-    (key, window_id) into ~2 shards/core, one int-keyed shuffle, then each
-    shard computes ALL its windows in one segmented vectorized pass.
+    (key, window_id), one int-keyed exchange (linear hash repartition by
+    default, ``exchange="sort"`` = the old map_groups plan), then each
+    partition computes ALL its windows in one segmented vectorized pass.
     """
     import pandas as pd
     import ray as _ray
@@ -396,4 +404,6 @@ def windowed_interpolation_join(
         )
 
     bucketed = win.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed.groupby("_wshard").map_groups(fn, batch_format="pyarrow")
+    from statefulstreamprocessor_ray.stages.exchange import shard_exchange_map
+
+    return shard_exchange_map(bucketed, fn, exchange=exchange, shard_col="_wshard")

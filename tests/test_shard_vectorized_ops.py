@@ -355,3 +355,28 @@ def test_embedding_dup_zero_pair_inputs(ray_session):
         ).num_rows
         == 0
     )
+
+
+def test_embedding_dup_exact_guard_raises_above_limit(ray_session):
+    """VERDICT r4 #6: exact mode is O(n^2); above exact_row_limit it must
+    refuse loudly (with the escape hatches named) instead of silently
+    launching a job-killer. force=True and mode='ivf' still run."""
+    import ray
+
+    from statefulstreamprocessor_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    n = 64
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, 8)).astype(np.float32)),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="mode='ivf'.*force=True"):
+        embedding_dup_pairs(ds, threshold=0.99, exact_row_limit=32)
+    out = embedding_dup_pairs(
+        ds, threshold=0.99, exact_row_limit=32, force=True
+    )
+    assert set(out.column_names) == {"vec_a", "vec_b", "cos_r"}
