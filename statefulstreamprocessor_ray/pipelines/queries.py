@@ -1058,12 +1058,39 @@ def q_ivf_topk(sf_dir):
     )
 
 
+def q_heavy_hitters(sf_dir):
+    """Top-10 tokens via capacity-bounded SpaceSaving partials. The driver
+    testdata's vocabulary (31 words) sits far under the default capacity, so
+    the merged result is EXACT with err_bound 0 — exactly what the oracle's
+    plain top-k recomputes; truncation/error-bound mechanics are covered by
+    tests/test_sketch.py on a high-cardinality synthetic corpus."""
+    from statefulstreamprocessor_ray.stages import sketch
+
+    return sketch.heavy_hitters(_documents(sf_dir, columns=["text"]), k=10)
+
+
+def q_distinct_count(sf_dir):
+    """Per-event-type distinct users via the sparse-exact/dense-HLL summary.
+    Driver testdata stays in the sparse regime (≤1500 users per type at
+    sf0.1) so the answer is exact COUNT(DISTINCT); the dense-estimate path
+    is accuracy-tested in tests/test_sketch.py."""
+    from statefulstreamprocessor_ray.stages import sketch
+
+    return sketch.distinct_count(
+        _events(sf_dir, columns=["event_type", "user_id"]),
+        col="user_id",
+        group_col="event_type",
+    )
+
+
 QUERIES = {
     "filter_prefix": q_filter_prefix,
     "explode": q_explode,
     "ts_normalize": q_ts_normalize,
     "key_suffix": q_key_suffix,
     "wordcount": q_wordcount,
+    "heavy_hitters": q_heavy_hitters,
+    "distinct_count": q_distinct_count,
     "clamp_level": q_clamp_level,
     "order_check": q_order_check,
     "groupby_count": q_groupby_count,
@@ -2260,6 +2287,24 @@ SELECT bucket, doc_id, chunk_idx, n_tokens, pack_id,
        before AS pack_tokens_before
 FROM walk""",
 )
+
+# heavy_hitters: exact regime (vocab << capacity) — err_bound is provably 0,
+# so the oracle asserts it; tie-break matches the engine's (n desc, item asc)
+ORACLE_SQL["heavy_hitters"] = """
+SELECT word AS item, n, CAST(0 AS BIGINT) AS err_bound FROM (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 10
+)
+"""
+
+# distinct_count: sparse regime (distinct users per type <= sparse_limit) —
+# the sparse summary is the exact 64-bit hash set, so COUNT(DISTINCT) matches
+ORACLE_SQL["distinct_count"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
 
 # repetition_stats: same tokenization as the shingle oracles; top-token
 # fraction is an EXACT int/int double division on both sides (no rounding —
