@@ -1083,6 +1083,22 @@ def q_distinct_count(sf_dir):
     )
 
 
+def q_quantiles(sf_dir):
+    """Per-event-type discrete quantiles of value via the mergeable
+    weighted-sample summary. Driver testdata stays under the summary limit
+    (≤20k values per type at sf0.1) so every reported quantile selects the
+    exact quantile_disc element; compaction error bounds are covered by
+    tests/test_sketch.py."""
+    from statefulstreamprocessor_ray.stages import sketch
+
+    return sketch.quantile_sketch(
+        _events(sf_dir, columns=["event_type", "value"]),
+        col="value",
+        group_col="event_type",
+        qs=(0.25, 0.5, 0.9),
+    )
+
+
 QUERIES = {
     "filter_prefix": q_filter_prefix,
     "explode": q_explode,
@@ -1091,6 +1107,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "heavy_hitters": q_heavy_hitters,
     "distinct_count": q_distinct_count,
+    "quantiles": q_quantiles,
     "clamp_level": q_clamp_level,
     "order_check": q_order_check,
     "groupby_count": q_groupby_count,
@@ -2304,6 +2321,17 @@ SELECT word AS item, n, CAST(0 AS BIGINT) AS err_bound FROM (
 ORACLE_SQL["distinct_count"] = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
+"""
+
+# quantiles: exact regime (per-type values << summary limit) — the summary
+# selects the same element as quantile_disc (sorted index max(0, ceil(q*n)-1),
+# identical float64 arithmetic both sides)
+ORACLE_SQL["quantiles"] = """
+SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value FROM events GROUP BY event_type
 """
 
 # repetition_stats: same tokenization as the shingle oracles; top-token

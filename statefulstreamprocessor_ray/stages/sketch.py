@@ -139,6 +139,115 @@ def heavy_hitters(
     )
 
 
+def _compact_weighted(v: np.ndarray, w: np.ndarray, limit: int):
+    """Deterministic equal-weight-strata compaction of a sorted-by-merge
+    weighted sample down to ``limit`` points. Keeps the LAST point of each of
+    ``limit`` equal-weight strata with the stratum's total weight, so total
+    weight is preserved and any rank query moves by at most W/limit — the
+    standard mergeable quantile-summary error model (cf. Greenwald-Khanna /
+    KLL; this is the simple deterministic variant)."""
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    W = int(cw[-1])
+    strata = np.minimum((cw - 1) * limit // W, limit - 1)
+    last = np.flatnonzero(np.diff(np.append(strata, limit)) != 0)
+    wq = np.diff(np.append(np.int64(0), cw[last]))
+    return v[last], wq.astype(np.int64)
+
+
+def quantile_sketch(
+    ds: ray.data.Dataset,
+    col: str,
+    qs=(0.25, 0.5, 0.9),
+    group_col: str | None = None,
+    limit: int = 65536,
+) -> ray.data.Dataset:
+    """Per-group discrete quantiles via a mergeable weighted-sample summary.
+
+    EXACT (selects the same element as DuckDB's ``quantile_disc``: sorted
+    index ``max(0, ceil(q*n)-1)``, same float64 arithmetic) while each
+    group's summary stays ≤ ``limit`` points — the oracle regime; beyond
+    that, partials and merges compact to ``limit`` equal-weight strata and
+    any reported quantile's rank is off by at most W/limit per compaction
+    level — ≤ 2W/limit end-to-end (partial compactions sum to ≤ W/limit
+    total, the merge adds ≤ W/limit).
+
+    Output: (``group_col``, ``q`` float64, ``value`` float64) — nulls/NaNs in
+    ``col`` ignored (quantile_disc semantics).
+    """
+    import pandas as pd
+
+    _GROUP = group_col or "_all"
+    qs = [float(q) for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([c for c in ([group_col] if group_col else []) + [col]]).to_pandas()
+        if group_col is None:
+            df[_GROUP] = ""
+        vals = pd.to_numeric(df[col], errors="coerce")
+        keep = vals.notna()
+        df, vals = df[keep], vals[keep].to_numpy(np.float64)
+        out_g, out_v, out_w = [], [], []
+        for gval, idx in df.groupby(_GROUP, sort=False).indices.items():
+            v = np.sort(vals[idx])
+            w = np.ones(len(v), np.int64)
+            if len(v) > limit:
+                v, w = _compact_weighted(v, w, limit)
+            out_g.append(np.repeat(np.asarray([gval], object), len(v)))
+            out_v.append(v)
+            out_w.append(w)
+        if not out_g:
+            return pa.table(
+                {
+                    _GROUP: pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                _GROUP: pa.array(np.concatenate(out_g), pa.string()),
+                "value": pa.array(np.concatenate(out_v), pa.float64()),
+                "weight": pa.array(np.concatenate(out_w), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_q, out_v = [], [], []
+        for gval, sub in g.groupby(_GROUP, sort=False):
+            v = sub["value"].to_numpy(np.float64)
+            w = sub["weight"].to_numpy(np.int64)
+            order = np.argsort(v, kind="stable")
+            v, w = v[order], w[order]
+            if len(v) > limit:
+                v, w = _compact_weighted(v, w, limit)
+            cw = np.cumsum(w)
+            W = int(cw[-1])
+            for q in qs:
+                # DuckDB quantile_disc: sorted index max(0, ceil(q*n)-1);
+                # weighted form: first point whose cumweight reaches that
+                # 1-based target rank (identical when all weights are 1)
+                target = max(1, int(np.ceil(q * W)))
+                i = int(np.searchsorted(cw, target, side="left"))
+                out_g.append(gval)
+                out_q.append(q)
+                out_v.append(v[i])
+        return pd.DataFrame(
+            {
+                _GROUP: out_g,
+                "q": np.asarray(out_q, np.float64),
+                "value": np.asarray(out_v, np.float64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = shard_map(partials, [_GROUP], merge, batch_format="pandas")
+    if group_col is None:
+        out = out.drop_columns([_GROUP])
+    return out
+
+
 def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
     """Dense HLL registers from uint64 hashes: index = top ``p`` bits,
     register = 1 + leading-zero count of the remaining ``64-p`` bits

@@ -121,6 +121,68 @@ def test_distinct_count_dense_estimate_within_hll_error():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch_exact_matches_duckdb_rule():
+    """Exact regime: every reported quantile is the quantile_disc element
+    (sorted index max(0, ceil(q*n)-1))."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": np.char.add("g", rng.integers(0, 3, 9_000).astype(str)),
+            "x": rng.normal(size=9_000) * 100,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = sketch.quantile_sketch(ds, col="x", group_col="g", qs=(0.25, 0.5, 0.9)).to_pandas()
+    for (gval, q), sub in got.groupby(["g", "q"]):
+        v = np.sort(df.loc[df["g"] == gval, "x"].to_numpy())
+        idx = max(0, int(np.ceil(q * len(v))) - 1)
+        assert sub["value"].iloc[0] == v[idx], (gval, q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch_compaction_rank_error_bounded():
+    """limit << n: each reported quantile's true rank is within 2W/limit of
+    the requested rank — one W/limit per compaction level (partials sum to
+    ≤ W/limit total, the merge adds ≤ W/limit)."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(8)
+    n, limit = 100_000, 256
+    x = rng.exponential(size=n)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": x})).repartition(8)
+    got = sketch.quantile_sketch(ds, col="x", qs=(0.5, 0.9, 0.99), limit=limit).to_pandas()
+    xs = np.sort(x)
+    for q, v in zip(got["q"], got["value"]):
+        true_rank = np.searchsorted(xs, v, side="right")
+        assert abs(true_rank - q * n) <= 2 * n / limit + 2, (q, v)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sketches_zero_row_input():
+    """Zero-row inputs: 0 rows out, no crash (Ray loses the empty frame's
+    schema through to_pandas — the repo-wide convention, cf. test_curation)."""
+    import pandas as pd
+    import ray.data
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "g": pd.Series([], dtype=str),
+                "v": pd.Series([], dtype=str),
+                "x": pd.Series([], dtype=float),
+            }
+        )
+    )
+    assert len(sketch.heavy_hitters(empty, col="v", k=5, tokenize=False).to_pandas()) == 0
+    assert len(sketch.distinct_count(empty, col="v", group_col="g").to_pandas()) == 0
+    assert len(sketch.quantile_sketch(empty, col="x", group_col="g").to_pandas()) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_distinct_count_ungrouped_single_row():
     import pandas as pd
     import ray.data
