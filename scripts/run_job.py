@@ -132,7 +132,24 @@ def main() -> None:
     mh.add_argument("--bands", type=int, default=16)
     mh.add_argument("--k", type=int, default=3)
 
-    for p in (b, s, w, cp, dd, cb, mh):
+    dc = sub.add_parser(
+        "distinct",
+        help="streaming distinct-count: per-epoch cumulative per-group "
+        "COUNT(DISTINCT) snapshots, sketch state across epochs "
+        "(pipelines/streaming_sketch)",
+    )
+    dc.add_argument("--input", required=True, help="events parquet dir")
+    dc.add_argument("--work", required=True)
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--shards", type=int, default=4)
+    dc.add_argument("--files-per-epoch", type=int, default=1)
+    dc.add_argument("--group-col", default="event_type")
+    dc.add_argument("--value-col", default="user_id")
+    dc.add_argument("--precision", type=int, default=12)
+    dc.add_argument("--sparse-limit", type=int, default=65536)
+    dc.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp, dd, cb, mh, dc):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -237,6 +254,25 @@ def main() -> None:
         )
         stats = StreamingMinHashJob(mcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "minhash", **stats}))
+    elif args.mode == "distinct":
+        from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+            StreamingDistinctConfig,
+            StreamingDistinctJob,
+        )
+
+        dcfg = StreamingDistinctConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            group_col=args.group_col,
+            value_col=args.value_col,
+            precision=args.precision,
+            sparse_limit=args.sparse_limit,
+        )
+        stats = StreamingDistinctJob(dcfg).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "distinct", **stats}))
     elif args.mode == "corpus":
         import os
 

@@ -1083,6 +1083,44 @@ def q_distinct_count(sf_dir):
     )
 
 
+def q_streaming_distinct(sf_dir):
+    """Streaming distinct-count: the events table replayed as 3
+    event_id-ordered arrival epochs through StreamingDistinctJob — per-shard
+    sketch state across epochs, one cumulative per-group snapshot row emitted
+    exactly once per epoch. The oracle recomputes the same epoch slicing
+    (rank thirds by event_id) and each epoch's prefix COUNT(DISTINCT)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingDistinctConfig,
+        StreamingDistinctJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("sdistinct", "events", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    tbl = tbl.sort_by("event_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingDistinctConfig(
+        input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out", n_shards=4
+    )
+    StreamingDistinctJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["epoch", "event_type", "n_distinct"]
+    )
+
+
 def q_quantiles(sf_dir):
     """Per-event-type discrete quantiles of value via the mergeable
     weighted-sample summary. Driver testdata stays under the summary limit
@@ -1108,6 +1146,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "distinct_count": q_distinct_count,
     "quantiles": q_quantiles,
+    "streaming_distinct": q_streaming_distinct,
     "clamp_level": q_clamp_level,
     "order_check": q_order_check,
     "groupby_count": q_groupby_count,
@@ -2321,6 +2360,27 @@ SELECT word AS item, n, CAST(0 AS BIGINT) AS err_bound FROM (
 ORACLE_SQL["distinct_count"] = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
+"""
+
+# streaming_distinct: the oracle recomputes the engine's epoch slicing —
+# event_id-sorted rank thirds with the SAME integer arithmetic
+# (lo = i*n//3) — then each epoch's prefix COUNT(DISTINCT) per group;
+# engine counts are exact because every group stays in the sparse regime
+ORACLE_SQL["streaming_distinct"] = """
+WITH r AS (
+  SELECT event_type, user_id,
+         row_number() OVER (ORDER BY event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+), e AS (
+  SELECT event_type, user_id,
+         CASE WHEN rn < n//3 THEN 0 WHEN rn < (2*n)//3 THEN 1 ELSE 2 END AS epoch
+  FROM r
+), eps AS (SELECT unnest([0, 1, 2]) AS epoch)
+SELECT CAST(eps.epoch AS BIGINT) AS epoch, e.event_type,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_distinct
+FROM eps JOIN e ON e.epoch <= eps.epoch
+GROUP BY 1, 2
 """
 
 # quantiles: exact regime (per-type values << summary limit) — the summary

@@ -1,0 +1,365 @@
+"""Streaming distinct-count: per-epoch cumulative COUNT(DISTINCT) snapshots
+over a GROWING event stream with exactly-once emission.
+
+The continuous-ingest form of ``stages/sketch.distinct_count``: events arrive
+as files (arrival-order epochs, same protocol as ``streaming_dedup``); after
+each epoch the job emits one snapshot row per (epoch, group) —
+``n_distinct`` = distinct values of ``value_col`` seen in ALL epochs so far.
+The classic stream-monitoring shape (unique users/domains per category over
+an unbounded stream) the batch operator can't serve without re-reading the
+whole history each epoch.
+
+State and scale:
+
+- values are 64-bit-hashed in phase 0 and sharded by ``hash % K`` — a given
+  value ALWAYS lands on the same shard, so shard states are disjoint
+  partitions of the value space and the global count is the plain SUM of
+  per-shard counts: exact while every shard-group state is sparse, the sum
+  of per-shard HLL estimates (of disjoint sets) past ``sparse_limit``.
+- per-shard state is O(distinct) uint64 hashes per group while sparse,
+  promoted to fixed 2^precision HLL registers when a group exceeds
+  ``sparse_limit`` — after promotion the state STOPS growing, the property
+  that makes an unbounded stream tractable.
+- checkpoints are per-epoch DELTAS (each epoch's new hashes per group; the
+  streaming_dedup lesson — re-snapshotting a never-shrinking state makes
+  checkpoint bytes O(epochs x corpus)); dense groups snapshot their
+  registers instead (fixed 2^precision bytes, cheaper than any delta).
+- exactly-once: staged parts + atomic epoch manifests; a second run over
+  committed input emits 0 rows; crash/resume equals the uninterrupted run;
+  tail appends (new files -> new epochs) emit exactly the new snapshots.
+- epochs are enumerated from the partition MARKER, not by listing partition
+  dirs (an epoch whose batches produce no rows writes no dir but must still
+  emit a snapshot — the ADVICE-r4 silent-loss class).
+
+No reference counterpart; extends the streaming surface (SURVEY.md §2
+"beyond the reference") with an unbounded-key streaming aggregate whose
+state is a mergeable sketch rather than a window buffer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+from statefulstreamprocessor_ray.stages.sketch import _hll_estimate, _hll_registers
+from statefulstreamprocessor_ray.state.checkpoint import CheckpointStore
+
+# value hashes come from pd.util.hash_array: a pandas upgrade that changes
+# the hash makes old checkpoint deltas silently stop matching new batches
+# (over-count instead of over-emit) — tag checkpoints and abort the resume
+# on mismatch, like streaming_dedup's CONTENT_HASH_SCHEME
+VALUE_HASH_SCHEME = f"hash_array-pd{pd.__version__}"
+
+
+@dataclass
+class StreamingDistinctConfig:
+    input_path: str  # directory of parquet files (arrival order = sorted names)
+    work_dir: str
+    out_dir: str
+    n_shards: int = 4
+    files_per_epoch: int = 1
+    group_col: str = "event_type"
+    value_col: str = "user_id"
+    precision: int = 12
+    sparse_limit: int = 65536
+    intermediate_compression: str = "none"  # see streaming.py note
+
+
+def partition_distinct_input(cfg: StreamingDistinctConfig) -> tuple[str, int]:
+    """Phase 0: hash values, dedupe per (group, hash) within each batch (the
+    map-side combiner — the exchange carries at most one row per distinct
+    (group, value) per batch), hive-partition by (shard, epoch). Same
+    marker/tail protocol as ``streaming_dedup.partition_dedup_input``.
+    Returns (part_dir, n_epochs) with n_epochs from the marker."""
+    import ray.data
+
+    part_dir = os.path.join(cfg.work_dir, "distinct_partitioned")
+    marker = os.path.join(part_dir, "_partition_done.json")
+    files = sorted(
+        os.path.join(cfg.input_path, f)
+        for f in os.listdir(cfg.input_path)
+        if f.endswith(".parquet")
+    )
+    fingerprint = [[f, os.path.getsize(f)] for f in files]
+    layout = {
+        "n_shards": cfg.n_shards,
+        "columns": [cfg.group_col, cfg.value_col],
+        "files_per_epoch": cfg.files_per_epoch,
+        "scheme": VALUE_HASH_SCHEME,
+    }
+    done = None
+    tail_from: int | None = None
+    if os.path.exists(marker):
+        with open(marker) as m:
+            done = json.load(m)
+        layout_ok = all(done.get(k) == v for k, v in layout.items())
+        if layout_ok and done["fingerprint"] == fingerprint:
+            return part_dir, int(done["n_epochs"])
+        if (
+            layout_ok
+            and len(fingerprint) > len(done["fingerprint"])
+            and done["fingerprint"] == fingerprint[: len(done["fingerprint"])]
+        ):
+            tail_from = len(done["fingerprint"])
+
+    n_shards, group_col, value_col = cfg.n_shards, cfg.group_col, cfg.value_col
+
+    def tag(batch: pa.Table, epoch: int) -> pa.Table:
+        df = batch.select([group_col, value_col]).to_pandas()
+        df = df[df[value_col].notna()]
+        h = pd.util.hash_array(df[value_col].to_numpy())
+        part = pd.DataFrame({group_col: df[group_col].to_numpy(), "h": h})
+        part = part.drop_duplicates([group_col, "h"])
+        hh = part["h"].to_numpy(np.uint64)
+        return pa.table(
+            {
+                group_col: pa.array(part[group_col], pa.string()),
+                "h": pa.array(hh.view(np.int64), pa.int64()),
+                "shard": pa.array((hh % np.uint64(n_shards)).astype(np.int32), pa.int32()),
+                "epoch": pa.array(np.full(len(part), epoch, np.int64), pa.int64()),
+            }
+        )
+
+    tmp = os.path.join(cfg.work_dir, "_distinct_partition_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if tail_from is not None:
+        new_files = files[tail_from:]
+        next_epoch = int(done["n_epochs"])
+        groups = [
+            new_files[g : g + cfg.files_per_epoch]
+            for g in range(0, len(new_files), cfg.files_per_epoch)
+        ]
+    else:
+        next_epoch = 0
+        groups = [
+            files[g : g + cfg.files_per_epoch]
+            for g in range(0, len(files), cfg.files_per_epoch)
+        ]
+    for gi, group in enumerate(groups):
+        ds = ray.data.read_parquet(group, columns=[group_col, value_col]).map_batches(
+            lambda b, e=next_epoch + gi: tag(b, e),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds.write_parquet(
+            tmp,
+            partition_cols=["shard", "epoch"],
+            compression=cfg.intermediate_compression,
+        )
+    if tail_from is not None:
+        for sd in sorted(os.listdir(tmp)) if os.path.isdir(tmp) else []:
+            if not sd.startswith("shard="):
+                continue
+            os.makedirs(os.path.join(part_dir, sd), exist_ok=True)
+            for ed in sorted(os.listdir(os.path.join(tmp, sd))):
+                dst = os.path.join(part_dir, sd, ed)
+                if os.path.isdir(dst):  # leftover of a crashed prior attempt
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(tmp, sd, ed), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp, part_dir)
+    n_epochs = next_epoch + len(groups)
+    with open(marker, "w") as m:
+        json.dump(dict(layout, fingerprint=fingerprint, n_epochs=n_epochs), m)
+    return part_dir, n_epochs
+
+
+@ray.remote
+class DistinctShardActor:
+    """One shard's per-group distinct-value state across epochs:
+    sparse = sorted uint64 hash array (exact), dense = HLL registers."""
+
+    def __init__(self, shard_id: int, cfg_dict: dict, ckpt_dir: str):
+        self.shard_id = shard_id
+        self.group_col = cfg_dict["group_col"]
+        self.precision = cfg_dict["precision"]
+        self.sparse_limit = cfg_dict["sparse_limit"]
+        self.sparse: dict[str, np.ndarray] = {}
+        self.dense: dict[str, np.ndarray] = {}
+        self.ckpt = CheckpointStore(ckpt_dir)
+
+    def _promote(self, g: str) -> None:
+        if g in self.sparse and len(self.sparse[g]) > self.sparse_limit:
+            regs = _hll_registers(self.sparse[g], self.precision)
+            if g in self.dense:
+                regs = np.maximum(regs, self.dense[g])
+            self.dense[g] = regs
+            del self.sparse[g]
+
+    def restore(
+        self, last_committed_epoch: int, committed_epochs: list[int] | None = None
+    ) -> int:
+        self.sparse, self.dense = {}, {}
+        if last_committed_epoch < 0:
+            self.ckpt.prune_after(self.shard_id, -(2**62))
+            return -1
+        found = [
+            e for e in self.ckpt.epochs(self.shard_id) if e <= last_committed_epoch
+        ]
+        self.ckpt.prune_after(self.shard_id, last_committed_epoch)
+        if not found:
+            return -1
+        if committed_epochs is not None and sorted(found) != sorted(committed_epochs):
+            return -1
+        for e in sorted(found):
+            snap = self.ckpt.load(self.shard_id, e)
+            if str(snap.get("scheme", "")) != VALUE_HASH_SCHEME:
+                return -1  # hash-scheme drift: clean resume-abort
+            # snap payload: {"groups": [...], "deltas": [arr...],
+            #                "dense_groups": [...], "regs": [arr...]}
+            for g, d in zip(list(snap["groups"]), list(snap["deltas"])):
+                d = np.asarray(d, np.uint64)
+                cur = self.sparse.get(g)
+                self.sparse[g] = d if cur is None else np.concatenate([cur, d])
+            for g, r in zip(list(snap["dense_groups"]), list(snap["regs"])):
+                r = np.asarray(r, np.uint8)
+                self.dense[g] = np.maximum(self.dense.get(g, r), r)
+                self.sparse.pop(g, None)
+        for g in list(self.sparse):
+            self.sparse[g] = np.unique(self.sparse[g])
+            self._promote(g)
+        return max(found)
+
+    def _counts(self) -> dict:
+        out = {g: int(len(v)) for g, v in self.sparse.items()}
+        out.update({g: _hll_estimate(r) for g, r in self.dense.items()})
+        return out
+
+    def process_epoch(self, epoch: int, epoch_dir: str | None) -> dict:
+        """Merge one epoch's (group, hash) rows into state, delta-checkpoint,
+        return this shard's per-group cumulative counts."""
+        groups_d: list[str] = []
+        deltas: list[np.ndarray] = []
+        if epoch_dir is not None and os.path.isdir(epoch_dir):
+            t = pq.read_table(epoch_dir)
+            if t.num_rows:
+                df = pd.DataFrame(
+                    {
+                        "g": t[self.group_col].to_pandas(),
+                        "h": t["h"].to_numpy(zero_copy_only=False).view(np.uint64),
+                    }
+                )
+                for g, sub in df.groupby("g", sort=False):
+                    new = np.unique(sub["h"].to_numpy(np.uint64))
+                    if g in self.dense:
+                        # past promotion the delta is absorbed into registers
+                        self.dense[g] = np.maximum(
+                            self.dense[g], _hll_registers(new, self.precision)
+                        )
+                        groups_d.append(g)
+                        deltas.append(np.array([], np.uint64))
+                        continue
+                    cur = self.sparse.get(g, np.array([], np.uint64))
+                    new = new[~np.isin(new, cur)]
+                    if len(new):
+                        self.sparse[g] = np.concatenate([cur, new])
+                        self._promote(g)
+                    groups_d.append(g)
+                    deltas.append(new)
+        self.ckpt.save(
+            self.shard_id,
+            epoch,
+            {
+                "groups": list(groups_d),
+                "deltas": list(deltas),
+                "dense_groups": list(self.dense),
+                "regs": [self.dense[g] for g in self.dense],
+                "scheme": VALUE_HASH_SCHEME,
+            },
+        )
+        return {"shard": self.shard_id, "counts": self._counts()}
+
+
+class StreamingDistinctJob:
+    def __init__(self, cfg: StreamingDistinctConfig):
+        self.cfg = cfg
+        self.sink = ExactlyOnceParquetSink(cfg.out_dir)
+        self.ckpt_dir = os.path.join(cfg.work_dir, "checkpoints")
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        cfg = self.cfg
+        committed = self.sink.committed_epochs()
+        last_committed = committed[-1] if committed else -1
+
+        cfg_dict = {
+            "group_col": cfg.group_col,
+            "precision": cfg.precision,
+            "sparse_limit": cfg.sparse_limit,
+        }
+        shards = [
+            DistinctShardActor.remote(k, cfg_dict, self.ckpt_dir)
+            for k in range(cfg.n_shards)
+        ]
+        restore_refs = [s.restore.remote(last_committed, committed) for s in shards]
+
+        part_dir, n_epochs = partition_distinct_input(cfg)
+        epochs = list(range(n_epochs))
+        if committed != epochs[: len(committed)]:
+            raise RuntimeError(
+                "manifest set must be a prefix of the epoch sequence: "
+                f"committed={committed} epochs={epochs}"
+            )
+        restored = ray.get(restore_refs)
+        if last_committed >= 0 and any(r != last_committed for r in restored):
+            raise RuntimeError(
+                f"resume aborted: manifests reach {last_committed}, "
+                f"checkpoints restored {restored}"
+            )
+
+        todo = [e for e in epochs if e > last_committed]
+        if max_epochs is not None:
+            todo = todo[:max_epochs]
+        # pipelined: all epochs submitted up-front, actor-task order keeps
+        # each shard sequential; manifests still commit strictly in order
+        pending = {
+            e: [
+                s.process_epoch.remote(
+                    e, os.path.join(part_dir, f"shard={k}", f"epoch={e}")
+                )
+                for k, s in enumerate(shards)
+            ]
+            for e in todo
+        }
+        stats = {
+            "epochs_total": len(epochs),
+            "epochs_skipped": len(committed),
+            "epochs_processed": 0,
+            "rows_emitted": 0,
+        }
+        for e in todo:
+            parts = ray.get(pending.pop(e))
+            # shard states partition the value space: global per-group count
+            # = sum of per-shard counts (exact while sparse)
+            totals: dict[str, int] = {}
+            for p in parts:
+                for g, n in p["counts"].items():
+                    totals[g] = totals.get(g, 0) + int(n)
+            snap = pa.table(
+                {
+                    "epoch": pa.array([e] * len(totals), pa.int64()),
+                    cfg.group_col: pa.array(sorted(totals), pa.string()),
+                    "n_distinct": pa.array(
+                        [totals[g] for g in sorted(totals)], pa.int64()
+                    ),
+                }
+            )
+            part = self.sink.stage_part(e, "snapshot", snap)
+            self.sink.commit_epoch(e, [part], cursor={"epoch": e})
+            stats["epochs_processed"] += 1
+            stats["rows_emitted"] += snap.num_rows
+        for s in shards:
+            ray.kill(s)
+        with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
