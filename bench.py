@@ -156,6 +156,38 @@ def _best2(query_fn, sf_dir: str) -> dict:
     return {"sec": dt, "rows": n}
 
 
+def bench_sketches(sf_dir: str) -> dict:
+    """The three batch sketches back-to-back (heavy hitters over document
+    tokens, per-type distinct users, per-type value quantiles) — one number
+    for the bounded-state-exchange family."""
+    from statefulstreamprocessor_ray.pipelines.queries import (
+        q_distinct_count,
+        q_heavy_hitters,
+        q_quantiles,
+    )
+
+    def all_three(sf):
+        import pandas as pd
+
+        a = q_heavy_hitters(sf).to_pandas()
+        b = q_distinct_count(sf).to_pandas()
+        c = q_quantiles(sf).to_pandas()
+        return pd.concat(
+            [a[["item"]].rename(columns={"item": "k"}).assign(src="hh"),
+             b[["event_type"]].rename(columns={"event_type": "k"}).assign(src="dc"),
+             c[["event_type"]].rename(columns={"event_type": "k"}).assign(src="q")],
+            ignore_index=True,
+        )
+
+    dt, n = 1e18, 0
+    for _ in range(2):
+        t0 = time.time()
+        out = all_three(sf_dir)
+        n = len(out)
+        dt = min(dt, time.time() - t0)
+    return {"sec": dt, "rows": n}
+
+
 def bench_windowed(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_windowed_join
 
@@ -390,6 +422,7 @@ def run_bench() -> dict:
         "streaming_minhash": lambda: bench_streaming_minhash(SF_DIR),
         "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
         "multimodal_real": lambda: bench_multimodal_real(SF_DIR),
+        "sketches": lambda: bench_sketches(SF_DIR),
     }
     results = {}
     for name, fn in benches.items():
