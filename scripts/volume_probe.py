@@ -174,6 +174,7 @@ def main() -> None:
         "corpus": 10.0,
         "tfidf": 2.0,
         "bigram": 2.0,
+        "sketch": 4.0,
     }
     gib = float(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 10.0)
 
@@ -321,6 +322,79 @@ def main() -> None:
                 sec=round(dt, 1),
                 rows=rows,
                 expected_rows=expected,
+                docs_per_sec=int(n_docs / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+            )
+        elif mode == "sketch":
+            # round-5 sketch family: heavy hitters + distinct over the SAME
+            # generated docs. The claim under test is bounded exchange state:
+            # hh truncates each block's partial to `capacity` rows (err_bound
+            # reported), distinct ships one hash-set/register summary per
+            # (block, group) — wall should track the token scan, driver RSS
+            # stays flat, zero spill
+            n_docs = gen_docs(f"{base}/input", gib)
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = n_docs
+
+            import ray.data
+
+            from statefulstreamprocessor_ray.stages.sketch import (
+                distinct_count,
+                heavy_hitters,
+            )
+
+            # the raw generated tokens are ~all-distinct (adversarial for the
+            # truncation but degenerate output: every count ~1); append a
+            # 50-token Zipf-ish hot head per doc so the top-k is real signal
+            # sitting far above the truncation error bound
+            def add_hot(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                hot = pa.array(
+                    [f" hot{int(i) % 50} hot{int(i) % 7} hot0" for i in ids]
+                )
+                return b.set_column(
+                    b.schema.get_field_index("text"),
+                    "text",
+                    pc.binary_join_element_wise(b["text"], hot, ""),
+                )
+
+            def hot_ds():
+                return ray.data.read_parquet(f"{base}/input").map_batches(
+                    add_hot, batch_format="pyarrow", zero_copy_batch=True
+                )
+
+            t1 = time.time()
+            hh = heavy_hitters(hot_ds(), col="text", k=20, capacity=4096).to_pandas()
+            out["hh_sec"] = round(time.time() - t1, 1)
+            out["hh_err_bound"] = int(hh["err_bound"].iloc[0]) if len(hh) else -1
+            out["hh_top_n"] = int(hh["n"].iloc[0]) if len(hh) else -1
+            t2 = time.time()
+            # group = doc_id % 8 exercises the per-group state; random
+            # A-Z 9-char tokens ≈ all-distinct values -> dense HLL regime
+            def add_group(b):
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.append_column(
+                    "grp", pa.array((ids % 8).astype("U1"), pa.string())
+                )
+
+            dc = distinct_count(
+                ray.data.read_parquet(f"{base}/input").map_batches(
+                    add_group, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                col="text",
+                group_col="grp",
+                sparse_limit=8192,
+            ).to_pandas()
+            dt2 = time.time() - t2
+            out["distinct_sec"] = round(dt2, 1)
+            out["distinct_total"] = int(dc["n_distinct"].sum()) if len(dc) else -1
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                rows=len(hh) + len(dc),
                 docs_per_sec=int(n_docs / dt),
                 input_gib_per_sec=round(out["input_gib"] / dt, 2),
             )
