@@ -149,7 +149,22 @@ def main() -> None:
     dc.add_argument("--sparse-limit", type=int, default=65536)
     dc.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w, cp, dd, cb, mh, dc):
+    tk = sub.add_parser(
+        "topk",
+        help="streaming top-k tokens: per-epoch cumulative top-k snapshots, "
+        "SpaceSaving count state across epochs (pipelines/streaming_sketch)",
+    )
+    tk.add_argument("--input", required=True, help="documents parquet dir")
+    tk.add_argument("--work", required=True)
+    tk.add_argument("--out", required=True)
+    tk.add_argument("--shards", type=int, default=4)
+    tk.add_argument("--files-per-epoch", type=int, default=1)
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--k", type=int, default=10)
+    tk.add_argument("--capacity", type=int, default=4096)
+    tk.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp, dd, cb, mh, dc, tk):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -273,6 +288,24 @@ def main() -> None:
         )
         stats = StreamingDistinctJob(dcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "distinct", **stats}))
+    elif args.mode == "topk":
+        from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+            StreamingTopKConfig,
+            StreamingTopKJob,
+        )
+
+        tcfg = StreamingTopKConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            text_col=args.text_col,
+            k=args.k,
+            capacity=args.capacity,
+        )
+        stats = StreamingTopKJob(tcfg).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "topk", **stats}))
     elif args.mode == "corpus":
         import os
 

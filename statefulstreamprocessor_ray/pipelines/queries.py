@@ -1121,6 +1121,45 @@ def q_streaming_distinct(sf_dir):
     )
 
 
+def q_streaming_topk(sf_dir):
+    """Streaming top-k tokens: documents replayed as 3 doc_id-ordered
+    arrival epochs through StreamingTopKJob — per-shard SpaceSaving count
+    state across epochs, one cumulative top-10 snapshot emitted exactly once
+    per epoch. The driver vocabulary (31 words) sits far under capacity, so
+    every snapshot is exact with err_bound 0 — what the oracle's per-epoch
+    prefix top-k recomputes; truncation mechanics are covered by
+    tests/test_streaming_sketch.py."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingTopKConfig,
+        StreamingTopKJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("stopk", "docs", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingTopKConfig(
+        input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out",
+        n_shards=4, k=10,
+    )
+    StreamingTopKJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["epoch", "item", "n", "err_bound"]
+    )
+
+
 def q_quantiles(sf_dir):
     """Per-event-type discrete quantiles of value via the mergeable
     weighted-sample summary. Driver testdata stays under the summary limit
@@ -1147,6 +1186,7 @@ QUERIES = {
     "distinct_count": q_distinct_count,
     "quantiles": q_quantiles,
     "streaming_distinct": q_streaming_distinct,
+    "streaming_topk": q_streaming_topk,
     "clamp_level": q_clamp_level,
     "order_check": q_order_check,
     "groupby_count": q_groupby_count,
@@ -2381,6 +2421,35 @@ SELECT CAST(eps.epoch AS BIGINT) AS epoch, e.event_type,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_distinct
 FROM eps JOIN e ON e.epoch <= eps.epoch
 GROUP BY 1, 2
+"""
+
+# streaming_topk: same epoch slicing as streaming_distinct (doc_id-rank
+# thirds, same integer arithmetic), then each epoch's prefix token top-10
+# with the engine's tie-break (n desc, item asc); exact regime — vocab <<
+# capacity — so err_bound is provably 0 and the oracle asserts it
+ORACLE_SQL["streaming_topk"] = """
+WITH r AS (
+  SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+         count(*) OVER () AS n FROM documents
+), d AS (
+  SELECT text,
+         CASE WHEN rn < n//3 THEN 0 WHEN rn < (2*n)//3 THEN 1 ELSE 2 END AS epoch
+  FROM r
+), t AS (
+  SELECT epoch,
+         unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '')) AS item
+  FROM d
+), eps AS (SELECT unnest([0, 1, 2]) AS epoch),
+c AS (
+  SELECT eps.epoch, t.item, CAST(count(*) AS BIGINT) AS n
+  FROM eps JOIN t ON t.epoch <= eps.epoch GROUP BY 1, 2
+), k AS (
+  SELECT epoch, item, n,
+         row_number() OVER (PARTITION BY epoch ORDER BY n DESC, item ASC) AS rk
+  FROM c
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, item, n, CAST(0 AS BIGINT) AS err_bound
+FROM k WHERE rk <= 10
 """
 
 # quantiles: exact regime (per-type values << summary limit) — the summary

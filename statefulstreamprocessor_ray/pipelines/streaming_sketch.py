@@ -1,5 +1,5 @@
-"""Streaming distinct-count: per-epoch cumulative COUNT(DISTINCT) snapshots
-over a GROWING event stream with exactly-once emission.
+"""Streaming sketch jobs: per-epoch cumulative DISTINCT-COUNT and TOP-K
+snapshots over a GROWING stream with exactly-once emission.
 
 The continuous-ingest form of ``stages/sketch.distinct_count``: events arrive
 as files (arrival-order epochs, same protocol as ``streaming_dedup``); after
@@ -31,8 +31,15 @@ State and scale:
   dirs (an epoch whose batches produce no rows writes no dir but must still
   emit a snapshot — the ADVICE-r4 silent-loss class).
 
+:class:`StreamingTopKJob` is the top-k companion: per-shard item counts
+SpaceSaving-truncated to ``capacity`` (items shard by hash, so per-shard
+counts are complete and the global top-k is a subset of the per-shard
+top-k union), the cumulative truncation bound carried as ``err_bound`` on
+every output row (0 == provably exact), state bounded at ``capacity`` rows
+— full-snapshot checkpoints, no delta machinery needed.
+
 No reference counterpart; extends the streaming surface (SURVEY.md §2
-"beyond the reference") with an unbounded-key streaming aggregate whose
+"beyond the reference") with unbounded-key streaming aggregates whose
 state is a mergeable sketch rather than a window buffer.
 """
 
@@ -279,6 +286,292 @@ class DistinctShardActor:
             },
         )
         return {"shard": self.shard_id, "counts": self._counts()}
+
+
+@dataclass
+class StreamingTopKConfig:
+    input_path: str  # directory of parquet files (arrival order = sorted names)
+    work_dir: str
+    out_dir: str
+    n_shards: int = 4
+    files_per_epoch: int = 1
+    text_col: str = "text"
+    k: int = 10
+    capacity: int = 4096  # per-shard item cap (SpaceSaving truncation)
+    intermediate_compression: str = "none"
+
+
+def partition_topk_input(cfg: StreamingTopKConfig) -> tuple[str, int]:
+    """Phase 0 for streaming top-k: tokenize (word-count tokenization),
+    pre-aggregate per-item counts within each epoch batch (the map-side
+    combiner), shard by item hash — an item ALWAYS lands on one shard, so
+    per-shard counts are complete and the global top-k is a subset of the
+    union of per-shard top-ks. Same marker/tail protocol as the distinct
+    job."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    part_dir = os.path.join(cfg.work_dir, "topk_partitioned")
+    marker = os.path.join(part_dir, "_partition_done.json")
+    files = sorted(
+        os.path.join(cfg.input_path, f)
+        for f in os.listdir(cfg.input_path)
+        if f.endswith(".parquet")
+    )
+    fingerprint = [[f, os.path.getsize(f)] for f in files]
+    layout = {
+        "n_shards": cfg.n_shards,
+        "columns": [cfg.text_col],
+        "files_per_epoch": cfg.files_per_epoch,
+        "scheme": VALUE_HASH_SCHEME,
+    }
+    done = None
+    tail_from: int | None = None
+    if os.path.exists(marker):
+        with open(marker) as m:
+            done = json.load(m)
+        layout_ok = all(done.get(k) == v for k, v in layout.items())
+        if layout_ok and done["fingerprint"] == fingerprint:
+            return part_dir, int(done["n_epochs"])
+        if (
+            layout_ok
+            and len(fingerprint) > len(done["fingerprint"])
+            and done["fingerprint"] == fingerprint[: len(done["fingerprint"])]
+        ):
+            tail_from = len(done["fingerprint"])
+
+    n_shards, text_col = cfg.n_shards, cfg.text_col
+
+    def tag(batch: pa.Table, epoch: int) -> pa.Table:
+        toks = (
+            pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+            .combine_chunks()
+            .flatten()
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        items = vc.field("values").cast(pa.string())
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pd.util.hash_array(np.asarray(items.to_pandas(), object))
+        return pa.table(
+            {
+                "item": items,
+                "c": pa.array(counts, pa.int64()),
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32()),
+                "epoch": pa.array(np.full(len(counts), epoch, np.int64), pa.int64()),
+            }
+        )
+
+    tmp = os.path.join(cfg.work_dir, "_topk_partition_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if tail_from is not None:
+        new_files = files[tail_from:]
+        next_epoch = int(done["n_epochs"])
+        groups = [
+            new_files[g : g + cfg.files_per_epoch]
+            for g in range(0, len(new_files), cfg.files_per_epoch)
+        ]
+    else:
+        next_epoch = 0
+        groups = [
+            files[g : g + cfg.files_per_epoch]
+            for g in range(0, len(files), cfg.files_per_epoch)
+        ]
+    for gi, group in enumerate(groups):
+        ds = ray.data.read_parquet(group, columns=[text_col]).map_batches(
+            lambda b, e=next_epoch + gi: tag(b, e),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds.write_parquet(
+            tmp,
+            partition_cols=["shard", "epoch"],
+            compression=cfg.intermediate_compression,
+        )
+    if tail_from is not None:
+        for sd in sorted(os.listdir(tmp)) if os.path.isdir(tmp) else []:
+            if not sd.startswith("shard="):
+                continue
+            os.makedirs(os.path.join(part_dir, sd), exist_ok=True)
+            for ed in sorted(os.listdir(os.path.join(tmp, sd))):
+                dst = os.path.join(part_dir, sd, ed)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(tmp, sd, ed), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp, part_dir)
+    n_epochs = next_epoch + len(groups)
+    with open(marker, "w") as m:
+        json.dump(dict(layout, fingerprint=fingerprint, n_epochs=n_epochs), m)
+    return part_dir, n_epochs
+
+
+@ray.remote
+class TopKShardActor:
+    """One shard's cumulative item counts, SpaceSaving-truncated to
+    ``capacity``: counts are lower bounds, ``dropped_bound`` (cumulative sum
+    of the largest count dropped per truncation) is the shard's error bound
+    — 0 while the shard's vocabulary fits capacity (the exact regime). The
+    whole state is ≤ capacity rows, so checkpoints are full snapshots."""
+
+    def __init__(self, shard_id: int, cfg_dict: dict, ckpt_dir: str):
+        self.shard_id = shard_id
+        self.capacity = cfg_dict["capacity"]
+        self.k = cfg_dict["k"]
+        self.counts = pd.Series(dtype=np.int64)
+        self.dropped_bound = 0
+        self.ckpt = CheckpointStore(ckpt_dir)
+
+    def restore(
+        self, last_committed_epoch: int, committed_epochs: list[int] | None = None
+    ) -> int:
+        self.counts = pd.Series(dtype=np.int64)
+        self.dropped_bound = 0
+        if last_committed_epoch < 0:
+            self.ckpt.prune_after(self.shard_id, -(2**62))
+            return -1
+        self.ckpt.prune_after(self.shard_id, last_committed_epoch)
+        got = self.ckpt.load_at_or_before(self.shard_id, last_committed_epoch)
+        if got is None:
+            return -1
+        e, snap = got
+        if e != last_committed_epoch or str(snap.get("scheme", "")) != VALUE_HASH_SCHEME:
+            return -1
+        self.counts = pd.Series(
+            np.asarray(snap["counts"], np.int64),
+            index=pd.Index(list(snap["items"]), dtype=object),
+        )
+        self.dropped_bound = int(snap["dropped_bound"])
+        return e
+
+    def process_epoch(self, epoch: int, epoch_dir: str | None) -> dict:
+        if epoch_dir is not None and os.path.isdir(epoch_dir):
+            t = pq.read_table(epoch_dir)
+            if t.num_rows:
+                add = pd.Series(
+                    t["c"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    index=pd.Index(t["item"].to_pandas(), dtype=object),
+                )
+                add = add.groupby(level=0, sort=False).sum()
+                self.counts = self.counts.add(add, fill_value=0).astype(np.int64)
+                if len(self.counts) > self.capacity:
+                    frame = self.counts.reset_index()
+                    frame.columns = ["item", "n"]
+                    frame = frame.sort_values(
+                        ["n", "item"], ascending=[False, True], kind="stable"
+                    )
+                    self.dropped_bound += int(frame.iloc[self.capacity :]["n"].max())
+                    kept = frame.iloc[: self.capacity]
+                    self.counts = pd.Series(
+                        kept["n"].to_numpy(np.int64),
+                        index=pd.Index(kept["item"], dtype=object),
+                    )
+        self.ckpt.save(
+            self.shard_id,
+            epoch,
+            {
+                "items": list(self.counts.index),
+                "counts": self.counts.to_numpy(np.int64),
+                "dropped_bound": self.dropped_bound,
+                "scheme": VALUE_HASH_SCHEME,
+            },
+        )
+        top = self.counts.reset_index()
+        top.columns = ["item", "n"]
+        top = top.sort_values(["n", "item"], ascending=[False, True], kind="stable")
+        top = top.iloc[: self.k]
+        return {
+            "shard": self.shard_id,
+            "items": list(top["item"]),
+            "ns": [int(v) for v in top["n"]],
+            "dropped_bound": self.dropped_bound,
+        }
+
+
+class StreamingTopKJob:
+    """Per-epoch cumulative top-k token snapshots with exactly-once emission.
+    Output rows per epoch: (epoch, item, n, err_bound) — err_bound is the
+    summed per-shard truncation bound (0 == provably exact)."""
+
+    def __init__(self, cfg: StreamingTopKConfig):
+        self.cfg = cfg
+        self.sink = ExactlyOnceParquetSink(cfg.out_dir)
+        self.ckpt_dir = os.path.join(cfg.work_dir, "checkpoints")
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        cfg = self.cfg
+        committed = self.sink.committed_epochs()
+        last_committed = committed[-1] if committed else -1
+
+        cfg_dict = {"capacity": cfg.capacity, "k": cfg.k}
+        shards = [
+            TopKShardActor.remote(s, cfg_dict, self.ckpt_dir)
+            for s in range(cfg.n_shards)
+        ]
+        restore_refs = [s.restore.remote(last_committed, committed) for s in shards]
+
+        part_dir, n_epochs = partition_topk_input(cfg)
+        epochs = list(range(n_epochs))
+        if committed != epochs[: len(committed)]:
+            raise RuntimeError(
+                "manifest set must be a prefix of the epoch sequence: "
+                f"committed={committed} epochs={epochs}"
+            )
+        restored = ray.get(restore_refs)
+        if last_committed >= 0 and any(r != last_committed for r in restored):
+            raise RuntimeError(
+                f"resume aborted: manifests reach {last_committed}, "
+                f"checkpoints restored {restored}"
+            )
+
+        todo = [e for e in epochs if e > last_committed]
+        if max_epochs is not None:
+            todo = todo[:max_epochs]
+        pending = {
+            e: [
+                s.process_epoch.remote(
+                    e, os.path.join(part_dir, f"shard={s_id}", f"epoch={e}")
+                )
+                for s_id, s in enumerate(shards)
+            ]
+            for e in todo
+        }
+        stats = {
+            "epochs_total": len(epochs),
+            "epochs_skipped": len(committed),
+            "epochs_processed": 0,
+            "rows_emitted": 0,
+        }
+        for e in todo:
+            parts = ray.get(pending.pop(e))
+            cand = pd.DataFrame(
+                {
+                    "item": [i for p in parts for i in p["items"]],
+                    "n": [n for p in parts for n in p["ns"]],
+                }
+            )
+            err = sum(p["dropped_bound"] for p in parts)
+            cand = cand.sort_values(["n", "item"], ascending=[False, True], kind="stable")
+            top = cand.iloc[: cfg.k]
+            snap = pa.table(
+                {
+                    "epoch": pa.array([e] * len(top), pa.int64()),
+                    "item": pa.array(top["item"], pa.string()),
+                    "n": pa.array(top["n"].to_numpy(np.int64), pa.int64()),
+                    "err_bound": pa.array([err] * len(top), pa.int64()),
+                }
+            )
+            part = self.sink.stage_part(e, "snapshot", snap)
+            self.sink.commit_epoch(e, [part], cursor={"epoch": e})
+            stats["epochs_processed"] += 1
+            stats["rows_emitted"] += snap.num_rows
+        for s in shards:
+            ray.kill(s)
+        with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
 
 
 class StreamingDistinctJob:

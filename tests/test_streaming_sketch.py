@@ -159,6 +159,140 @@ def test_dense_promotion_estimate_and_resume(tmp_path):
     pd.testing.assert_frame_equal(got, got2)
 
 
+def _write_doc_files(tmp_path, epochs):
+    """epochs: list of list[str] texts — one file per epoch."""
+    inp = tmp_path / "dinput"
+    inp.mkdir(exist_ok=True)
+    for i, texts in enumerate(epochs):
+        pq.write_table(
+            pa.table({"text": pa.array(texts, pa.string())}),
+            str(inp / f"f-{i:03d}.parquet"),
+        )
+    return str(inp)
+
+
+def _topk_cfg(tmp_path, inp, **kw):
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingTopKConfig,
+    )
+
+    return StreamingTopKConfig(
+        input_path=inp,
+        work_dir=str(tmp_path / "twork"),
+        out_dir=str(tmp_path / "tout"),
+        n_shards=3,
+        **kw,
+    )
+
+
+def _prefix_topk(epochs, k):
+    rows = []
+    for e in range(len(epochs)):
+        toks = [
+            t
+            for texts in epochs[: e + 1]
+            for s in texts
+            for t in s.lower().split()
+            if t
+        ]
+        vc = pd.Series(toks).value_counts()
+        frame = vc.reset_index()
+        frame.columns = ["item", "n"]
+        frame = frame.sort_values(["n", "item"], ascending=[False, True])
+        for _, r in frame.head(k).iterrows():
+            rows.append((e, r["item"], int(r["n"]), 0))
+    return (
+        pd.DataFrame(rows, columns=["epoch", "item", "n", "err_bound"])
+        .sort_values(["epoch", "n", "item"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+DOC_EPOCHS = [
+    ["a b a c", "b b d"],
+    ["c c c e", "a"],
+    ["f f f f f"],
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_snapshots_equal_prefix_topk(tmp_path):
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingTopKJob,
+    )
+
+    inp = _write_doc_files(tmp_path, DOC_EPOCHS)
+    stats = StreamingTopKJob(_topk_cfg(tmp_path, inp, k=3)).run()
+    assert stats["epochs_processed"] == 3
+    got = (
+        ExactlyOnceParquetSink(str(tmp_path / "tout"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "n", "item"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"epoch": "int64", "n": "int64", "err_bound": "int64"}),
+        _prefix_topk(DOC_EPOCHS, 3),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_resume_and_second_run_zero(tmp_path):
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingTopKJob,
+    )
+
+    inp = _write_doc_files(tmp_path, DOC_EPOCHS)
+    cfg = _topk_cfg(tmp_path, inp, k=3)
+    StreamingTopKJob(cfg).run(max_epochs=1)  # "crash" after epoch 0
+    StreamingTopKJob(cfg).run()  # resume
+    got = (
+        ExactlyOnceParquetSink(str(tmp_path / "tout"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "n", "item"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"epoch": "int64", "n": "int64", "err_bound": "int64"}),
+        _prefix_topk(DOC_EPOCHS, 3),
+    )
+    stats3 = StreamingTopKJob(cfg).run()
+    assert stats3["rows_emitted"] == 0 and stats3["epochs_processed"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_truncation_reports_bound_and_keeps_head(tmp_path):
+    """capacity << vocabulary: the hot head survives, counts are within the
+    reported err_bound, err_bound > 0 is reported honestly."""
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingTopKJob,
+    )
+
+    rng = np.random.default_rng(13)
+    epochs = [
+        [" ".join(f"w{v}" for v in rng.zipf(1.3, 400) % 2000) + " hot hot hot"]
+        for _ in range(3)
+    ]
+    inp = _write_doc_files(tmp_path, epochs)
+    StreamingTopKJob(_topk_cfg(tmp_path, inp, k=5, capacity=64)).run()
+    got = (
+        ExactlyOnceParquetSink(str(tmp_path / "tout")).read_committed().to_pandas()
+    )
+    last = got[got["epoch"] == 2].sort_values(["n", "item"], ascending=[False, True])
+    assert (last["err_bound"] > 0).all()
+    toks = pd.Series(
+        [t for texts in epochs for s in texts for t in s.split()]
+    ).value_counts()
+    # the unambiguous zipf head survives truncation, and every reported
+    # count is a lower bound within the reported err_bound of the truth
+    assert last["item"].iloc[0] == toks.index[0]
+    err = int(last["err_bound"].iloc[0])
+    for item, n in zip(last["item"], last["n"]):
+        assert int(n) <= int(toks[item]) <= int(n) + err
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_scheme_mismatch_aborts_resume(tmp_path):
     inp = _write_epoch_files(tmp_path, EPOCHS)
