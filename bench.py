@@ -387,11 +387,28 @@ def _silence_schema_hash_noise() -> None:
     ).addFilter(_Drop())
 
 
+def _box_health() -> dict:
+    """Host first-touch fault-path probe (see scripts/boxhealth.py).
+
+    Embedded in every bench JSON so a reading taken while the sandbox
+    host's page-fault path is degraded (observed intermittently: fresh
+    page allocation ~0.1 GB/s vs steady memcpy ~10 GB/s, machine-wide
+    fault cap ~0.75 GB/s) is visible as such — under that condition
+    GB-scale wall times measure the host, not the engine."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    import boxhealth
+
+    return boxhealth.measure()
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
 
     _silence_schema_hash_noise()
+    health_before = _box_health()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -445,6 +462,8 @@ def run_bench() -> dict:
             k: {kk: (round(vv, 1) if isinstance(vv, float) else vv) for kk, vv in v.items()}
             for k, v in results.items()
         },
+        "box_health_before": health_before,
+        "box_health_after": _box_health(),
     }
 
 
@@ -515,10 +534,7 @@ def run_scaling() -> dict:
     # any GB-scale job is fault-capped regardless of CPUs and the ratio
     # measures the host, not the engine — embed the probe so the reading
     # is interpretable
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    import boxhealth
-
-    health_before = boxhealth.measure()
+    health_before = _box_health()
     # interleaved reps, min per level: single-shot runs on a shared box swing
     # 20-30% with page-cache / scheduler noise; min-of-interleaved isolates
     # the parallelism effect from that noise
@@ -544,7 +560,7 @@ def run_scaling() -> dict:
         f"joins_per_sec_{hi_cpus}": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "box_health_before": health_before,
-        "box_health_after": boxhealth.measure(),
+        "box_health_after": _box_health(),
     }
 
 
