@@ -476,18 +476,35 @@ def scaling_corpus() -> str:
     latency floor, not parallel efficiency (measured 0.59 at 10M, 0.77 at
     40M, 0.82 at 80M turns with identical code — efficiency is a property
     of work-per-core, and 100 TB production runs sit far beyond the right
-    end of that curve)."""
-    n_convs, turns = 32000, 2500
-    path = f"/tmp/ssp_bench_corpus_80m_{n_convs}x{turns}"
+    end of that curve). ``SSP_SCALING_TURNS_M`` (millions of turns, default
+    80) sizes the corpus — e.g. 160 doubles work-per-core for a pair even
+    deeper into the throughput regime."""
+    turns_m = int(os.environ.get("SSP_SCALING_TURNS_M", "80"))
+    n_convs, turns = turns_m * 400, 2500
+    path = f"/tmp/ssp_bench_corpus_{turns_m}m_{n_convs}x{turns}"
     marker = os.path.join(path, "_done")
     if not os.path.exists(marker):
         from statefulstreamprocessor_ray import fixtures
 
         shutil.rmtree(path, ignore_errors=True)
-        tbl = fixtures.transcripts_table(
-            n_convs=n_convs, turns_per_conv=turns, seed=42
-        )
-        fixtures.write_transcripts(tbl, path, n_files=256)
+        # chunked generation (<=20M turns per chunk, distinct seed + conv
+        # offset per chunk): bounds generator peak memory regardless of
+        # corpus size, and repeated same-size chunk allocations reuse
+        # already-faulted heap pages (relevant when the host's first-touch
+        # fault path is degraded — see scripts/boxhealth.py)
+        chunk_convs = min(n_convs, 8000)
+        files_per_chunk = max(1, 256 * chunk_convs // n_convs)
+        for i, off in enumerate(range(0, n_convs, chunk_convs)):
+            tbl = fixtures.transcripts_table(
+                n_convs=min(chunk_convs, n_convs - off),
+                turns_per_conv=turns,
+                seed=42 + i,
+                conv_offset=off,
+            )
+            fixtures.write_transcripts(
+                tbl, os.path.join(path, f"chunk-{i:03d}"), n_files=files_per_chunk
+            )
+            del tbl
         open(marker, "w").close()
     return path
 

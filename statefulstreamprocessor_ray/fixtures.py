@@ -150,16 +150,20 @@ def transcripts_table(
     p_assistant: float = 0.45,
     p_tool: float = 0.25,
     start_epoch_s: float = BASE_EPOCH_S,
+    conv_offset: int = 0,
 ) -> pa.Table:
     """General deterministic transcript corpus (vectorized numpy generation).
 
     Roles cycle user/assistant with tool-call turns interspersed; per-conv
     timestamps are strictly increasing with irregular gaps (FIXTURES.md F10
     'irregular gaps'). Used for golden-corpus, bench, and skew tests.
+    ``conv_offset`` shifts the conv-id numbering so huge corpora can be
+    generated in bounded-memory chunks (distinct seeds per chunk) without
+    conv-id collisions.
     """
     rng = np.random.default_rng(seed)
     n = n_convs * turns_per_conv
-    conv = np.repeat(np.arange(n_convs), turns_per_conv)
+    conv = np.repeat(np.arange(conv_offset, conv_offset + n_convs), turns_per_conv)
     turn_idx = np.tile(np.arange(turns_per_conv, dtype=np.int32), n_convs)
     # role draw: 0=user, 1=assistant, 2=tool
     u = rng.random(n)
