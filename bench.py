@@ -82,10 +82,12 @@ def bench_flagship(tpath: str) -> dict:
     reps = int(os.environ.get("SSP_FLAGSHIP_REPS", "2"))
     n_turns = _read_transcripts(tpath).count()
     dt, n = 1e18, 0
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
         n = flagship_join(_read_transcripts(tpath), delta_time=5.0).count()
-        dt = min(dt, time.time() - t0)
+        rep_s = time.time() - t0
+        print(f"[bench] flagship rep {i + 1}/{reps}: {rep_s:.2f} s", file=sys.stderr)
+        dt = min(dt, rep_s)
     return {
         "sec": dt,
         "rows": n,
