@@ -214,6 +214,12 @@ def bench_tfidf(sf_dir: str) -> dict:
     return _best2(q_tfidf_top_terms, sf_dir)
 
 
+def bench_bm25(sf_dir: str) -> dict:
+    from statefulstreamprocessor_ray.pipelines.queries import q_bm25_topk
+
+    return _best2(q_bm25_topk, sf_dir)
+
+
 def bench_text(sf_dir: str) -> dict:
     from statefulstreamprocessor_ray.pipelines.queries import q_text_stats
 
@@ -432,6 +438,7 @@ def run_bench() -> dict:
         "dedup_minhash": lambda: bench_dedup(SF_DIR),
         "text_stats": lambda: bench_text(SF_DIR),
         "tfidf": lambda: bench_tfidf(SF_DIR),
+        "bm25_topk": lambda: bench_bm25(SF_DIR),
         "ann_topk": lambda: bench_ann(SF_DIR),
         "cep_funnel": lambda: bench_cep(SF_DIR),
         "decontaminate": lambda: bench_decontaminate(SF_DIR),

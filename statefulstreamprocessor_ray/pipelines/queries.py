@@ -834,6 +834,32 @@ def q_tfidf_top_terms(sf_dir):
     )
 
 
+# Probe queries for the BM25 retrieval entry — fixed literals shared
+# byte-for-byte with the oracle's VALUES list (the lsh_topk baked-constant
+# precedent); terms drawn from the testdata generator's vocabulary so the
+# check is non-vacuous at every sf.
+BM25_QUERIES = (
+    "sort merge join",
+    "window agg scan",
+    "fast key order",
+    "group query value",
+)
+
+
+def q_bm25_topk(sf_dir):
+    """Per-query top-10 docs by Okapi BM25 (Lucene idf). Per-term scores
+    are quantized to integer micro-units before the distributed
+    (query, doc) sum — int64 addition is associative, so partition order
+    provably cannot flip the oracle comparison (bigram precedent)."""
+    from statefulstreamprocessor_ray.stages.text import bm25_topk
+
+    return bm25_topk(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        queries=list(BM25_QUERIES),
+        top_k=10,
+    )
+
+
 def q_bigram_surprisal(sf_dir):
     """Per-doc bigram-LM surprisal vs the corpus's own statistics (KenLM-
     style fluency signal). Per-bigram surprisal is quantized to integer
@@ -1210,6 +1236,7 @@ QUERIES = {
     "url_domains": q_url_domains,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_surprisal": q_bigram_surprisal,
+    "bm25_topk": q_bm25_topk,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -2304,6 +2331,47 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST(sum(tf*sm) AS BIGINT) AS surprisal_micro,
        CAST(sum(tf*sm) AS DOUBLE)/sum(tf)/1000000 AS mean_surprisal
 FROM s GROUP BY 1
+"""
+
+# bm25_topk: query literals shared with q_bm25_topk (BM25_QUERIES); the
+# arithmetic expression mirrors the engine token-for-token — Lucene idf,
+# (1.2 + 1.0) / (1.0 - 0.75) written as the same float ops Python performs on
+# the k1/b arguments, per-term micro-quantization before the associative sum
+ORACLE_SQL["bm25_topk"] = r"""
+WITH q(query_id, qtext) AS (VALUES
+  (0, 'sort merge join'), (1, 'window agg scan'),
+  (2, 'fast key order'), (3, 'group query value')),
+qterm AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '\s+'), x -> x <> '')) AS term
+  FROM q
+), t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), stats AS (
+  SELECT CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM t
+), tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t WHERE len(ws) > 0
+), tc AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, count(*) AS df FROM tc
+  WHERE term IN (SELECT DISTINCT term FROM qterm) GROUP BY 1
+), w AS (
+  SELECT qterm.query_id, tc.doc_id,
+         CAST(round(
+           ln(1.0 + ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+           * 1000000.0) AS BIGINT) AS sm
+  FROM tc JOIN dfq USING (term) JOIN qterm USING (term) CROSS JOIN stats
+), s AS (
+  SELECT query_id, doc_id, CAST(sum(sm) AS BIGINT) AS score_micro FROM w GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rk FROM s
+) WHERE rk <= 10
 """
 
 # url_domains: same URL regex as the scrubber, domain = lowercased authority.

@@ -703,3 +703,229 @@ def bigram_surprisal(
         return hash_partitioned_map(
             scored, [id_col], doc_sum, n2
         ).materialize()
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    queries: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-query top-k documents by Okapi BM25 — the lexical retrieval pass
+    of a curation/eval loop (find the corpus docs most relevant to a probe
+    query; the sparse complement of ``similarity.brute_force_topk``).
+    Output: ``(query_id, doc_id, score_micro, score)``.
+
+    ``score(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))``
+    with the Lucene idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Per-term
+    scores are quantized to integer micro-units BEFORE the per-(query, doc)
+    sum (the bigram_surprisal precedent): int64 addition is associative, so
+    the distributed sum provably matches the oracle regardless of partition
+    order; ``score`` is the one identical ``micro / 1e6`` division chain.
+
+    Scale shape: the query term set is TINY and known up front, so — unlike
+    tfidf_top_terms — nothing vocabulary-sized ever moves. ONE pass over the
+    text emits three bounded row families: per-(doc, query-term) tf rows
+    (the only data that scales with matches), one per-batch (total-token,
+    doc-count) stats partial, and per-batch per-query-term df partials
+    (<= |query terms| rows per block). Driver reduces only the partials
+    (O(blocks x |terms|)); df/avgdl/N broadcast back as closure constants.
+    Scoring + per-(query, doc) partial sums stay in workers; one linear
+    keyed group-sum exchange completes the sums (payload: fixed-width
+    (query, doc, micro) rows — never text); per-batch partial top-k prunes
+    to <= |queries| * k rows per block before a single-task final rank.
+    Docs containing no query term are never emitted past the tokenizer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+    from statefulstreamprocessor_ray.stages.exchange import local_keyed_map
+
+    qtokens = [[w for w in q.lower().split() if w] for q in queries]
+    terms = sorted({t for toks in qtokens for t in toks})
+    if not terms or top_k <= 0:
+        return ray.data.from_arrow(_bm25_empty())
+    t_index = {t: i for i, t in enumerate(terms)}
+    n_terms = len(terms)
+    # per-query term-index arrays (closure constants; a handful of ints)
+    q_term_idx = [
+        np.array(sorted({t_index[t] for t in toks if t in t_index}), np.int32)
+        for toks in qtokens
+    ]
+    n_docs = ds.count()
+
+    def pass1(df: pd.DataFrame) -> pa.Table:
+        s = df[text_col].fillna("").str.lower().str.split()
+        n = s.str.len().to_numpy(np.int64)
+        rows = {
+            id_col: [np.array([-1], np.int64)],
+            "qt": [np.array([-1], np.int32)],
+            "tf": [np.array([int(n.sum())], np.int64)],
+            "dl": [np.array([len(df)], np.int64)],
+            "tag": [np.array([1], np.int8)],
+        }
+        if n.any():
+            ids = np.repeat(df[id_col].to_numpy(np.int64), n)
+            dls = np.repeat(n, n)
+            flat = np.concatenate([np.asarray(l, dtype=object) for l in s if l])
+            mask = pd.Series(flat).isin(t_index).to_numpy()
+            if mask.any():
+                tdf = pd.DataFrame(
+                    {
+                        "doc": ids[mask],
+                        "dl": dls[mask],
+                        "qt": pd.Series(flat[mask]).map(t_index).to_numpy(np.int32),
+                    }
+                )
+                out = tdf.groupby(["doc", "dl", "qt"], sort=False, as_index=False).size()
+                k = len(out)
+                rows[id_col].append(out["doc"].to_numpy(np.int64))
+                rows["qt"].append(out["qt"].to_numpy(np.int32))
+                rows["tf"].append(out["size"].to_numpy(np.int64))
+                rows["dl"].append(out["dl"].to_numpy(np.int64))
+                rows["tag"].append(np.zeros(k, np.int8))
+                # df partial: (doc, qt) rows are distinct within the batch
+                # and a doc lives in exactly one input block, so rows-per-qt
+                # IS this block's doc count per term
+                dfp = np.bincount(out["qt"].to_numpy(np.int64), minlength=n_terms)
+                nz = np.nonzero(dfp)[0]
+                rows[id_col].append(np.full(len(nz), -1, np.int64))
+                rows["qt"].append(nz.astype(np.int32))
+                rows["tf"].append(dfp[nz].astype(np.int64))
+                rows["dl"].append(np.full(len(nz), -1, np.int64))
+                rows["tag"].append(np.full(len(nz), 2, np.int8))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(rows[id_col]), pa.int64()),
+                "qt": pa.array(np.concatenate(rows["qt"]), pa.int32()),
+                "tf": pa.array(np.concatenate(rows["tf"]), pa.int64()),
+                "dl": pa.array(np.concatenate(rows["dl"]), pa.int64()),
+                "tag": pa.array(np.concatenate(rows["tag"]), pa.int8()),
+            }
+        )
+
+    tc = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(pass1, batch_format="pandas")
+        .materialize()
+    )
+
+    def keep_tag(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["tag"], tag))
+
+        return f
+
+    partials = tc.map_batches(
+        keep_tag(1), batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    total_tokens = int(partials["tf"].sum())
+    avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
+    dfp = tc.map_batches(
+        keep_tag(2), batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    df_arr = np.zeros(n_terms, np.int64)
+    if len(dfp):
+        agg = dfp.groupby("qt")["tf"].sum()
+        df_arr[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tag"], 0))
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "smp": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qt = t["qt"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = df_arr[qt].astype(np.float64)
+        # arithmetic shape mirrors the oracle SQL expression token-for-token
+        idf = np.log(1.0 + ((float(n_docs) - dfv) + 0.5) / (dfv + 0.5))
+        w = (
+            idf
+            * (tf * k1p1)
+            / (tf + k1 * (one_minus_b + b * (dl / avgdl)))
+        )
+        sm = np.round(w * 1e6).astype(np.int64)
+        docs = t[id_col].to_numpy(zero_copy_only=False)
+        qids, out_docs, out_sm = [], [], []
+        for qid, idxs in enumerate(q_term_idx):
+            m = np.isin(qt, idxs)
+            if not m.any():
+                continue
+            qids.append(np.full(int(m.sum()), qid, np.int64))
+            out_docs.append(docs[m])
+            out_sm.append(sm[m])
+        if not qids:
+            return empty
+        g = pd.DataFrame(
+            {
+                "query_id": np.concatenate(qids),
+                id_col: np.concatenate(out_docs),
+                "smp": np.concatenate(out_sm),
+            }
+        )
+        # map-side combiner: pre-sum per (query, doc) before the exchange
+        g = g.groupby(["query_id", id_col], sort=False, as_index=False)["smp"].sum()
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].to_numpy(np.int64), pa.int64()),
+                id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+                "smp": pa.array(g["smp"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    scored = sharded_group_sum(
+        tc.map_batches(score_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["query_id", id_col],
+        sums={"smp": "score_micro"},
+    )
+
+    def topk_prune(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g[["query_id", id_col, "score_micro"]]
+        g = g.sort_values(
+            ["query_id", "score_micro", id_col], ascending=[True, False, True]
+        )
+        return g.groupby("query_id", sort=False).head(top_k)[
+            ["query_id", id_col, "score_micro"]
+        ]
+
+    def topk_final(g: pd.DataFrame) -> pa.Table:
+        g = topk_prune(g)
+        sm = g["score_micro"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].to_numpy(np.int64), pa.int64()),
+                id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+                "score_micro": pa.array(sm, pa.int64()),
+                "score": pa.array(sm.astype(np.float64) / 1e6, pa.float64()),
+            }
+        )
+
+    pruned = scored.map_batches(topk_prune, batch_format="pandas").materialize()
+    return local_keyed_map(pruned, topk_final)
+
+
+def _bm25_empty():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )

@@ -256,3 +256,68 @@ def test_bigram_surprisal_max_cf_drops_hot_contexts():
     # (context frequency 100 > 50)
     assert (full["n_bigrams"].to_numpy() == 20).all()
     assert (pruned["n_bigrams"].to_numpy() == 19).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_topk_matches_naive_and_tiebreak():
+    """bm25_topk vs a single-process naive BM25 on a corpus with ties,
+    empty docs, and a query with no corpus hits."""
+    from statefulstreamprocessor_ray.stages.text import bm25_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "sort merge join sort",
+                "merge join",
+                "join join join window",
+                "",              # empty doc still counts toward N / avgdl
+                "window scan agg",
+                "sort merge join sort",  # exact dup of doc 0 -> tied score
+                "unrelated words entirely",
+                "scan scan scan scan scan",
+            ],
+        }
+    )
+    queries = ["sort merge join", "window scan", "zzz_absent_term"]
+    out = (
+        bm25_topk(ray.data.from_pandas(docs), queries, top_k=3)
+        .to_pandas()
+        .sort_values(["query_id", "score_micro", "doc_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+    # naive reference
+    tok = docs.assign(ws=docs["text"].str.lower().str.split())
+    n = len(docs)
+    avgdl = float(tok["ws"].str.len().sum()) / float(n)
+    expected = []
+    for qid, q in enumerate(queries):
+        scores = {}
+        for _, row in tok.iterrows():
+            ws = row["ws"]
+            dl = len(ws)
+            sm = 0
+            for t in set(q.lower().split()):
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                df = int(tok["ws"].apply(lambda w: t in w).sum())
+                idf = np.log(1.0 + ((float(n) - df) + 0.5) / (df + 0.5))
+                w = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                sm += int(np.round(w * 1e6))
+            if sm:
+                scores[row["doc_id"]] = sm
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for d, sm in top:
+            expected.append((qid, d, sm))
+    exp = pd.DataFrame(expected, columns=["query_id", "doc_id", "score_micro"])
+    got = out[["query_id", "doc_id", "score_micro"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    # absent-term query emits nothing; duplicate docs tie and break by doc_id
+    assert (out["query_id"] != 2).all()
+    q0 = out[out["query_id"] == 0]
+    tied = q0[q0["score_micro"] == q0["score_micro"].max()]["doc_id"].tolist()
+    assert tied == [0, 5]
+    assert np.allclose(out["score"], out["score_micro"] / 1e6)
