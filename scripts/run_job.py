@@ -164,7 +164,25 @@ def main() -> None:
     tk.add_argument("--capacity", type=int, default=4096)
     tk.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w, cp, dd, cb, mh, dc, tk):
+    qt = sub.add_parser(
+        "quantiles",
+        help="streaming quantiles: per-epoch cumulative per-group quantile "
+        "snapshots, bounded weighted-sample summaries across epochs "
+        "(pipelines/streaming_sketch)",
+    )
+    qt.add_argument("--input", required=True, help="events parquet dir")
+    qt.add_argument("--work", required=True)
+    qt.add_argument("--out", required=True)
+    qt.add_argument("--shards", type=int, default=4)
+    qt.add_argument("--files-per-epoch", type=int, default=1)
+    qt.add_argument("--group-col", default="event_type")
+    qt.add_argument("--value-col", default="value")
+    qt.add_argument("--qs", default="0.25,0.5,0.9",
+                    help="comma-separated quantiles")
+    qt.add_argument("--limit", type=int, default=65536)
+    qt.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp, dd, cb, mh, dc, tk, qt):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -306,6 +324,25 @@ def main() -> None:
         )
         stats = StreamingTopKJob(tcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "topk", **stats}))
+    elif args.mode == "quantiles":
+        from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+            StreamingQuantileConfig,
+            StreamingQuantileJob,
+        )
+
+        qcfg = StreamingQuantileConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            group_col=args.group_col,
+            value_col=args.value_col,
+            qs=tuple(float(x) for x in args.qs.split(",") if x),
+            limit=args.limit,
+        )
+        stats = StreamingQuantileJob(qcfg).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "quantiles", **stats}))
     elif args.mode == "corpus":
         import os
 

@@ -1147,6 +1147,46 @@ def q_streaming_distinct(sf_dir):
     )
 
 
+def q_streaming_quantiles(sf_dir):
+    """Streaming quantiles: the events table replayed as 3 event_id-ordered
+    arrival epochs through StreamingQuantileJob — per-group weighted-sample
+    summaries on group-hash shards across epochs, one cumulative
+    (group, q) snapshot row emitted exactly once per epoch. Driver data
+    stays under the summary limit, so every snapshot selects the exact
+    quantile_disc element (err_bound provably 0, the oracle asserts it);
+    compaction mechanics are covered by tests/test_streaming_sketch.py."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingQuantileConfig,
+        StreamingQuantileJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("squantile", "events", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    tbl = tbl.sort_by("event_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingQuantileConfig(
+        input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out", n_shards=4
+    )
+    StreamingQuantileJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["epoch", "event_type", "q", "value", "err_bound"]
+    )
+
+
 def q_streaming_topk(sf_dir):
     """Streaming top-k tokens: documents replayed as 3 doc_id-ordered
     arrival epochs through StreamingTopKJob — per-shard SpaceSaving count
@@ -1213,6 +1253,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "streaming_distinct": q_streaming_distinct,
     "streaming_topk": q_streaming_topk,
+    "streaming_quantiles": q_streaming_quantiles,
     "clamp_level": q_clamp_level,
     "order_check": q_order_check,
     "groupby_count": q_groupby_count,
@@ -2518,6 +2559,35 @@ c AS (
 )
 SELECT CAST(epoch AS BIGINT) AS epoch, item, n, CAST(0 AS BIGINT) AS err_bound
 FROM k WHERE rk <= 10
+"""
+
+# streaming_quantiles: the engine's epoch slicing (event_id-rank thirds,
+# same integer arithmetic), then each epoch's prefix quantile_disc per group
+# — exact regime (values per group << summary limit), err_bound asserted 0
+ORACLE_SQL["streaming_quantiles"] = """
+WITH r AS (
+  SELECT event_type, value, row_number() OVER (ORDER BY event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+), e AS (
+  SELECT event_type, value,
+         CASE WHEN rn < n//3 THEN 0 WHEN rn < (2*n)//3 THEN 1 ELSE 2 END AS epoch
+  FROM r
+), eps AS (SELECT unnest([0, 1, 2]) AS epoch),
+p AS (
+  SELECT eps.epoch, e.event_type, e.value FROM eps JOIN e ON e.epoch <= eps.epoch
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, event_type, 0.25 AS q,
+       quantile_disc(value, 0.25) AS value, CAST(0 AS BIGINT) AS err_bound
+FROM p GROUP BY 1, 2
+UNION ALL
+SELECT CAST(epoch AS BIGINT) AS epoch, event_type, 0.5 AS q,
+       quantile_disc(value, 0.5) AS value, CAST(0 AS BIGINT) AS err_bound
+FROM p GROUP BY 1, 2
+UNION ALL
+SELECT CAST(epoch AS BIGINT) AS epoch, event_type, 0.9 AS q,
+       quantile_disc(value, 0.9) AS value, CAST(0 AS BIGINT) AS err_bound
+FROM p GROUP BY 1, 2
 """
 
 # quantiles: exact regime (per-type values << summary limit) — the summary

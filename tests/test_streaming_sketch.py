@@ -311,3 +311,175 @@ def test_scheme_mismatch_aborts_resume(tmp_path):
             pickle.dump(snap, fh)
     with pytest.raises(RuntimeError, match="resume aborted"):
         StreamingDistinctJob(cfg).run()
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def _write_value_files(tmp_path, epochs):
+    """epochs: list of list[(group, value)] — one file per epoch."""
+    inp = tmp_path / "qinput"
+    inp.mkdir(exist_ok=True)
+    for i, rows in enumerate(epochs):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(inp / f"f-{i:03d}.parquet"))
+    return str(inp)
+
+
+def _qcfg(tmp_path, inp, **kw):
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingQuantileConfig,
+    )
+
+    return StreamingQuantileConfig(
+        input_path=inp,
+        work_dir=str(tmp_path / "qwork"),
+        out_dir=str(tmp_path / "qout"),
+        n_shards=3,
+        **kw,
+    )
+
+
+def _prefix_quantiles(epochs, qs=(0.25, 0.5, 0.9)):
+    rows = []
+    for e in range(len(epochs)):
+        flat = pd.DataFrame(
+            [r for ep in epochs[: e + 1] for r in ep],
+            columns=["event_type", "value"],
+        )
+        for g, sub in flat.groupby("event_type"):
+            v = np.sort(sub["value"].to_numpy(np.float64))
+            for q in qs:
+                # quantile_disc: sorted index max(0, ceil(q*n)-1)
+                i = max(0, int(np.ceil(q * len(v))) - 1)
+                rows.append((e, g, q, v[i], 0))
+    return (
+        pd.DataFrame(
+            rows, columns=["epoch", "event_type", "q", "value", "err_bound"]
+        )
+        .sort_values(["epoch", "event_type", "q"])
+        .reset_index(drop=True)
+    )
+
+
+QEPOCHS = [
+    [("a", 1.0), ("a", 9.0), ("b", 5.0), ("a", 3.0)],
+    [("a", 7.0), ("b", 2.0), ("c", 4.0)],
+    [("b", 8.0), ("c", 6.0), ("a", 2.5), ("a", 1.5)],
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_snapshots_equal_prefix_quantile_disc(tmp_path):
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingQuantileJob,
+    )
+
+    inp = _write_value_files(tmp_path, QEPOCHS)
+    stats = StreamingQuantileJob(_qcfg(tmp_path, inp)).run()
+    assert stats["epochs_processed"] == 3
+    got = (
+        ExactlyOnceParquetSink(str(tmp_path / "qout"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "event_type", "q"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(
+            {"epoch": "int64", "q": "float64", "value": "float64",
+             "err_bound": "int64"}
+        ),
+        _prefix_quantiles(QEPOCHS),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_resume_tail_and_second_run_zero(tmp_path):
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingQuantileJob,
+    )
+
+    inp = _write_value_files(tmp_path, QEPOCHS[:2])
+    cfg = _qcfg(tmp_path, inp)
+    StreamingQuantileJob(cfg).run(max_epochs=1)  # "crash" after epoch 0
+    StreamingQuantileJob(cfg).run()  # resume epochs 0..1
+    # tail append: a third file arrives -> exactly one new epoch emitted
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in QEPOCHS[2]], pa.string()),
+                "value": pa.array([float(r[1]) for r in QEPOCHS[2]], pa.float64()),
+            }
+        ),
+        os.path.join(inp, "f-002.parquet"),
+    )
+    stats = StreamingQuantileJob(cfg).run()
+    assert stats["epochs_processed"] == 1 and stats["epochs_skipped"] == 2
+    got = (
+        ExactlyOnceParquetSink(str(tmp_path / "qout"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "event_type", "q"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(
+            {"epoch": "int64", "q": "float64", "value": "float64",
+             "err_bound": "int64"}
+        ),
+        _prefix_quantiles(QEPOCHS),
+    )
+    stats2 = StreamingQuantileJob(cfg).run()
+    assert stats2["rows_emitted"] == 0 and stats2["epochs_processed"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_compaction_bound_and_resume_across_it(tmp_path):
+    """values >> limit: compaction triggers, err_bound > 0 is reported, the
+    reported quantile's RANK is within err_bound of the true rank, and a
+    crash/resume across the compacted state equals the uninterrupted run."""
+    from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+        StreamingQuantileJob,
+    )
+
+    rng = np.random.default_rng(7)
+    epochs = [
+        [("g", float(v)) for v in rng.normal(0, 100, 3000)] for _ in range(3)
+    ]
+    inp = _write_value_files(tmp_path, epochs)
+    cfg = _qcfg(tmp_path, inp, limit=256)
+    StreamingQuantileJob(cfg).run()
+    got = (
+        ExactlyOnceParquetSink(str(tmp_path / "qout")).read_committed().to_pandas()
+    )
+    last = got[got["epoch"] == 2]
+    assert (last["err_bound"] > 0).all()
+    allv = np.sort(
+        np.array([v for ep in epochs for _, v in ep], np.float64)
+    )
+    W = len(allv)
+    for _, row in last.iterrows():
+        true_rank = max(1, int(np.ceil(row["q"] * W)))
+        got_rank = int(np.searchsorted(allv, row["value"], side="right"))
+        assert abs(got_rank - true_rank) <= int(row["err_bound"])
+    # crash/resume across compacted state reproduces the uninterrupted run
+    import shutil
+
+    shutil.rmtree(tmp_path / "qout")
+    shutil.rmtree(tmp_path / "qwork")
+    cfg2 = _qcfg(tmp_path, inp, limit=256)
+    StreamingQuantileJob(cfg2).run(max_epochs=2)
+    StreamingQuantileJob(cfg2).run()
+    got2 = (
+        ExactlyOnceParquetSink(str(tmp_path / "qout")).read_committed().to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["epoch", "q"]).reset_index(drop=True),
+        got2.sort_values(["epoch", "q"]).reset_index(drop=True),
+    )
