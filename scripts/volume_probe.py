@@ -175,6 +175,7 @@ def main() -> None:
         "tfidf": 2.0,
         "bigram": 2.0,
         "sketch": 4.0,
+        "bm25": 4.0,
     }
     gib = float(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 10.0)
 
@@ -395,6 +396,60 @@ def main() -> None:
             out.update(
                 sec=round(dt, 1),
                 rows=len(hh) + len(dc),
+                docs_per_sec=int(n_docs / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+            )
+        elif mode == "bm25":
+            # round-5 BM25 retrieval at volume. The claim under test is the
+            # bounded-exchange shape: the query-term set is tiny and fixed,
+            # pass 1 emits only per-(doc, query-term) tf rows plus per-batch
+            # df/avgdl partials, and the only shuffle is a fixed-width
+            # (query, doc, micro) group-sum. The appended hot tokens make
+            # EVERY doc match at least one query term — the adversarial
+            # candidate-set-is-the-whole-corpus case — so the exchange is
+            # maximal for the corpus size. Wall should track the token scan;
+            # driver RSS stays flat; zero spill.
+            n_docs = gen_docs(f"{base}/input", gib)
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = n_docs
+
+            import ray.data
+
+            from statefulstreamprocessor_ray.stages.text import bm25_topk
+
+            def add_hot(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                hot = pa.array(
+                    [f" hot{int(i) % 50} hot{int(i) % 7} hot0" for i in ids]
+                )
+                return b.set_column(
+                    b.schema.get_field_index("text"),
+                    "text",
+                    pc.binary_join_element_wise(b["text"], hot, ""),
+                )
+
+            queries = [
+                "hot0 hot3 hot11",
+                "hot1 hot2",
+                "hot42 hot17 hot5",
+                "hot49 hot6",
+            ]
+            t1 = time.time()
+            res = bm25_topk(
+                ray.data.read_parquet(f"{base}/input").map_batches(
+                    add_hot, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                queries,
+                top_k=10,
+            ).to_pandas()
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                rows=len(res),
+                expected_rows=len(queries) * 10,
                 docs_per_sec=int(n_docs / dt),
                 input_gib_per_sec=round(out["input_gib"] / dt, 2),
             )
