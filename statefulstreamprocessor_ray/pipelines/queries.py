@@ -669,6 +669,21 @@ def q_scrub_text(sf_dir):
     return curation.scrub_text(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_percentile_filter(sf_dir):
+    """Corpus-relative quality gate: keep docs with n_tokens >= the corpus
+    P10 (quantile_disc element). Composition shape: metric pass ->
+    distributed quantile -> O(1) threshold to driver -> broadcast filter;
+    the exact regime (corpus << summary limit) makes the oracle
+    comparison bit-for-bit."""
+    from statefulstreamprocessor_ray.stages.curation import (
+        percentile_quality_filter,
+    )
+
+    return percentile_quality_filter(
+        _documents(sf_dir, columns=["doc_id", "text"]), q=0.1
+    )
+
+
 def q_repetition_stats(sf_dir):
     """Gopher-style repetition signals: token count, distinct tokens,
     most-frequent-token fraction (exact double division, SQL-bit-identical)."""
@@ -1286,6 +1301,7 @@ QUERIES = {
     "streaming_minhash": q_streaming_minhash,
     "scrub_text": q_scrub_text,
     "repetition_stats": q_repetition_stats,
+    "percentile_filter": q_percentile_filter,
     "doc_embedding_join": q_doc_embedding_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2588,6 +2604,19 @@ UNION ALL
 SELECT CAST(epoch AS BIGINT) AS epoch, event_type, 0.9 AS q,
        quantile_disc(value, 0.9) AS value, CAST(0 AS BIGINT) AS err_bound
 FROM p GROUP BY 1, 2
+"""
+
+# percentile_filter: corpus-relative quality gate — same tokenization as the
+# text-family oracles; threshold is the quantile_disc element (an actual
+# corpus value), keep-side ties survive
+ORACLE_SQL["percentile_filter"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens FROM d
+WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.1) FROM d)
 """
 
 # quantiles: exact regime (per-type values << summary limit) — the summary

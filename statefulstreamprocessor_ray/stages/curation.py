@@ -571,3 +571,53 @@ def _repetition_fn(batch, text_col, id_col, keep_cols):
     return pd.DataFrame(out)
 
 
+
+
+def percentile_quality_filter(
+    ds,
+    q: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantile_limit: int = 65536,
+):
+    """Corpus-relative quality gate: drop the bottom-``q`` tail of documents
+    by token count. Output: ``(doc_id, n_tokens)`` for every surviving doc.
+
+    Absolute thresholds (min_tokens=N) rot as the corpus mix shifts;
+    curation recipes therefore cut at a PERCENTILE of the corpus's own
+    distribution. This is the composition shape: one metric pass
+    (per-doc token count — lower + whitespace split, the shared
+    tokenization convention), a distributed quantile
+    (:func:`..stages.sketch.quantile_sketch` — exact quantile_disc element
+    while the corpus summary stays <= ``quantile_limit`` points, bounded
+    rank error beyond), the single threshold row pulled to the driver
+    (O(1) — the small-results rule), then a broadcast-threshold filter
+    over the metric table. The text is read ONCE; the filter pass runs on
+    the narrow (id, n_tokens) table, never re-reading text.
+
+    Keep-side semantics: ``n_tokens >= quantile_disc(n_tokens, q)`` —
+    ties with the threshold element survive (quantile_disc returns an
+    actual corpus element, so the kept set is never empty)."""
+    import pandas as pd
+
+    from statefulstreamprocessor_ray.stages.sketch import quantile_sketch
+
+    def with_ntok(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split()
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "n_tokens": s.str.len().to_numpy(np.int64),
+            }
+        )
+
+    nt = ds.map_batches(with_ntok, batch_format="pandas").materialize()
+    thr_df = quantile_sketch(
+        nt, col="n_tokens", qs=(float(q),), limit=quantile_limit
+    ).to_pandas()
+    thr = float(thr_df["value"].iloc[0])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["n_tokens"].to_numpy(np.float64) >= thr]
+
+    return nt.map_batches(keep, batch_format="pandas")

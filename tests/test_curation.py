@@ -328,3 +328,42 @@ def test_url_domain_stats_counts_and_distinct_docs():
     # 1 in doc2, 1 in doc4) across 3 docs; other.org: 1 url / 1 doc;
     # the bare "https:///" authority-less url is dropped
     assert got == {"example.com": (4, 3), "other.org": (1, 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percentile_quality_filter_exact_and_ties():
+    """Exact regime: threshold is the true quantile_disc element; docs tied
+    with the threshold survive; the kept set is never empty."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "text": [
+                "a",                     # 1 token
+                "a b",                   # 2
+                "a b c",                 # 3 (P10 threshold element for q=0.2)
+                "a b c",                 # 3 tie survives
+                "a b c d",
+                "a b c d e",
+                "a b c d e f",
+                "a b c d e f g",
+                "a b c d e f g h",
+                "",                      # 0 tokens — always dropped
+            ],
+        }
+    )
+    out = (
+        curation.percentile_quality_filter(
+            ray.data.from_pandas(docs), q=0.2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = docs["text"].str.lower().str.split().str.len().to_numpy(np.int64)
+    # quantile_disc(0.2) over sorted counts: index max(0, ceil(0.2*10)-1) = 1
+    thr = np.sort(n)[max(0, int(np.ceil(0.2 * len(n))) - 1)]
+    exp = docs.loc[n >= thr, ["doc_id"]].reset_index(drop=True)
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert (out["n_tokens"].to_numpy() >= thr).all()
+    assert 2 in out["doc_id"].tolist() and 3 in out["doc_id"].tolist()
+    assert 9 not in out["doc_id"].tolist()
