@@ -176,6 +176,7 @@ def main() -> None:
         "bigram": 2.0,
         "sketch": 4.0,
         "bm25": 4.0,
+        "squantile": 2.0,
     }
     gib = float(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 10.0)
 
@@ -451,6 +452,91 @@ def main() -> None:
                 rows=len(res),
                 expected_rows=len(queries) * 10,
                 docs_per_sec=int(n_docs / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+            )
+        elif mode == "squantile":
+            # round-5 streaming-quantile job at volume, in the COMPACTION
+            # regime (per-group cumulative values >> limit): per-shard state
+            # stays bounded at `limit` points per group, checkpoints are
+            # fixed-size full snapshots, err_bound > 0 is reported honestly,
+            # and the reported quantiles' ranks stay within it. Values are
+            # uniform per group with a known distribution, so the P50
+            # estimate is independently checkable.
+            import ray.data
+
+            from statefulstreamprocessor_ray.pipelines.streaming_sketch import (
+                StreamingQuantileConfig,
+                StreamingQuantileJob,
+            )
+            from statefulstreamprocessor_ray.sinks.exactly_once import (
+                ExactlyOnceParquetSink,
+            )
+
+            n_epochs, n_groups = 6, 16
+            rows_per_epoch = int(gib * 2**30 / 30 / n_epochs)  # ~30 B/row
+
+            def make(batch: pd.DataFrame) -> pa.Table:
+                ids = batch["id"].to_numpy(np.int64)
+                rng = np.random.default_rng(int(ids[0]) * 11 + 3)
+                g = (ids % n_groups).astype(np.int64)
+                # group k ~ Uniform[0, k+1): true P50 of group k = (k+1)/2
+                vals = rng.random(len(ids)) * (g + 1)
+                return pa.table(
+                    {
+                        "event_type": pa.array(
+                            np.char.add("t", g.astype(str)), pa.string()
+                        ),
+                        "value": pa.array(vals, pa.float64()),
+                    }
+                )
+
+            os.makedirs(f"{base}/input")
+            for e in range(n_epochs):
+                ray.data.range(
+                    rows_per_epoch, override_num_blocks=32
+                ).map_batches(
+                    make, batch_size=65536, batch_format="pandas"
+                ).write_parquet(f"{base}/input/ep-{e:03d}")
+                # one file per epoch for the arrival protocol: flatten
+                ep_dir = f"{base}/input/ep-{e:03d}"
+                import pyarrow.parquet as pq  # noqa: PLC0415
+
+                t = pq.read_table(ep_dir)
+                shutil.rmtree(ep_dir)
+                pq.write_table(
+                    t, f"{base}/input/ep-{e:03d}.parquet", compression="none"
+                )
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = rows_per_epoch * n_epochs
+
+            t1 = time.time()
+            cfg = StreamingQuantileConfig(
+                input_path=f"{base}/input",
+                work_dir=f"{base}/work",
+                out_dir=f"{base}/out",
+                n_shards=8,
+                limit=65536,
+            )
+            stats = StreamingQuantileJob(cfg).run()
+            dt = time.time() - t1
+            res = (
+                ExactlyOnceParquetSink(f"{base}/out").read_committed().to_pandas()
+            )
+            last = res[res["epoch"] == n_epochs - 1]
+            p50 = last[last["q"] == 0.5]
+            # uniform group k: true P50 = (k+1)/2 — check relative error
+            ks = p50["event_type"].str.slice(1).astype(int).to_numpy()
+            rel = np.abs(
+                p50["value"].to_numpy() - (ks + 1) / 2.0
+            ) / ((ks + 1) / 2.0)
+            out.update(
+                sec=round(dt, 1),
+                rows=int(stats["rows_emitted"]),
+                epochs=int(stats["epochs_processed"]),
+                err_bound_max=int(last["err_bound"].max()),
+                p50_max_rel_err=round(float(rel.max()), 4),
+                rows_per_sec=int(out["input_rows"] / dt),
                 input_gib_per_sec=round(out["input_gib"] / dt, 2),
             )
         else:
