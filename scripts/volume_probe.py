@@ -183,14 +183,15 @@ def main() -> None:
     import ray
     from ray.data import DataContext
 
-    ray.init(address="local", num_cpus=32, include_dashboard=False,
+    ncpu = int(os.environ.get("SSP_PROBE_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
 
     base = f"/tmp/ssp_volume_{mode}"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
-    out: dict = {"mode": mode, "target_gib": gib, "num_cpus": 32}
+    out: dict = {"mode": mode, "target_gib": gib, "num_cpus": ncpu}
     try:
         t0 = time.time()
         if mode == "streaming":
