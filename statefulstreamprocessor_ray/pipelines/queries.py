@@ -669,6 +669,22 @@ def q_scrub_text(sf_dir):
     return curation.scrub_text(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_group_sample_k(sf_dir):
+    """Exactly min(25, |source|) docs per source: the k smallest
+    (md5(id), id) pairs per group — hash-min-k is an associative reduction,
+    so per-batch partial top-k + one group-keyed exchange computes it
+    without ever shuffling the corpus. md5 mode pins the DuckDB
+    md5_number_lower ordering for the oracle; sip mode is the scale path
+    (differential-tested in test_curation.py)."""
+    from statefulstreamprocessor_ray.stages.curation import group_sample_exact_k
+
+    return group_sample_exact_k(
+        _documents(sf_dir, columns=["doc_id", "source"]),
+        k=25,
+        hash_fn="md5",
+    )
+
+
 def q_percentile_filter(sf_dir):
     """Corpus-relative quality gate: keep docs with n_tokens >= the corpus
     P10 (quantile_disc element). Composition shape: metric pass ->
@@ -1302,6 +1318,7 @@ QUERIES = {
     "scrub_text": q_scrub_text,
     "repetition_stats": q_repetition_stats,
     "percentile_filter": q_percentile_filter,
+    "group_sample_k": q_group_sample_k,
     "doc_embedding_join": q_doc_embedding_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2604,6 +2621,21 @@ UNION ALL
 SELECT CAST(epoch AS BIGINT) AS epoch, event_type, 0.9 AS q,
        quantile_disc(value, 0.9) AS value, CAST(0 AS BIGINT) AS err_bound
 FROM p GROUP BY 1, 2
+"""
+
+# group_sample_k: exact-k per-group hash-min-k sample; md5_number_lower
+# ordering shared byte-for-byte with the engine's md5 mode (the
+# stratified_sample precedent), (h, id) tie-break
+ORACLE_SQL["group_sample_k"] = r"""
+WITH h AS (
+  SELECT source, doc_id,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT source, doc_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+  FROM h
+) WHERE rk <= 25
 """
 
 # percentile_filter: corpus-relative quality gate — same tokenization as the

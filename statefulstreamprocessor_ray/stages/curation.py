@@ -621,3 +621,58 @@ def percentile_quality_filter(
         return b[b["n_tokens"].to_numpy(np.float64) >= thr]
 
     return nt.map_batches(keep, batch_format="pandas")
+
+
+def group_sample_exact_k(
+    ds,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    hash_fn: str = "sip",
+):
+    """Exactly ``min(k, |group|)`` rows per group, deterministically: the k
+    smallest ``(hash(id), id)`` pairs per group — the "take exactly 10k
+    docs per source" training-mix op that rate-based sampling
+    (:func:`deterministic_sample`) structurally can't express (a rate
+    yields a BINOMIAL count, never an exact one). Output:
+    ``(group_col, doc_id)``.
+
+    Scale shape: hash-min-k is an associative, idempotent reduction —
+    each block contributes its own <= k rows per group (per-batch partial
+    top-k), then ONE group-keyed exchange finishes the reduction; the
+    exchange carries <= k rows per (block, group), never the corpus.
+    ``hash_fn="sip"`` is the vectorized scale path; ``hash_fn="md5"``
+    reproduces DuckDB's ``md5_number_lower(CAST(id AS VARCHAR))`` ordering
+    byte-for-byte for the SQL-oracle-checked query. The (h, id) tie-break
+    makes the kept set total-order-stable even under hash collisions."""
+    import pandas as pd
+
+    from statefulstreamprocessor_ray.functions.ops import shard_map
+
+    if hash_fn not in ("sip", "md5"):
+        raise ValueError("hash_fn must be 'sip' or 'md5'")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        if hash_fn == "md5":
+            h = _md5_u64([str(int(i)) for i in ids])
+        else:
+            h = pd.util.hash_array(ids, categorize=False)
+        out = pd.DataFrame(
+            {group_col: df[group_col].to_numpy(object), "h": h, id_col: ids}
+        )
+        out = out.sort_values([group_col, "h", id_col], kind="stable")
+        return out.groupby(group_col, sort=False).head(k)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return topk_final(g)
+
+    def topk_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "h", id_col], kind="stable")
+        g = g.groupby(group_col, sort=False).head(k)
+        return g[[group_col, id_col]]
+
+    partials = ds.select_columns([group_col, id_col]).map_batches(
+        topk, batch_format="pandas"
+    )
+    return shard_map(partials, [group_col], finalize, batch_format="pandas")

@@ -367,3 +367,48 @@ def test_percentile_quality_filter_exact_and_ties():
     assert (out["n_tokens"].to_numpy() >= thr).all()
     assert 2 in out["doc_id"].tolist() and 3 in out["doc_id"].tolist()
     assert 9 not in out["doc_id"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_sample_exact_k_counts_and_modes():
+    """Exactly min(k, |group|) per group; sip and md5 modes each match a
+    single-process reference of their own hash ordering; partial+final
+    reduction equals the global answer regardless of batching."""
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "source": rng.choice(["web", "code", "chat", "rare"], 500,
+                                 p=[0.5, 0.3, 0.19, 0.01]),
+        }
+    )
+    from statefulstreamprocessor_ray.stages.dedup import _md5_u64
+
+    for mode in ("sip", "md5"):
+        out = (
+            curation.group_sample_exact_k(
+                ray.data.from_pandas(docs), k=7, group_col="source",
+                hash_fn=mode,
+            )
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        if mode == "md5":
+            h = _md5_u64([str(i) for i in docs["doc_id"]])
+        else:
+            h = pd.util.hash_array(docs["doc_id"].to_numpy(np.int64),
+                                   categorize=False)
+        ref = (
+            docs.assign(h=h)
+            .sort_values(["source", "h", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(7)[["source", "doc_id"]]
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["source", "doc_id"]], ref)
+        sizes = out.groupby("source").size()
+        true_sizes = docs.groupby("source").size()
+        for s in true_sizes.index:
+            assert sizes.get(s, 0) == min(7, true_sizes[s])
