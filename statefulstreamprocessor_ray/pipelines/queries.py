@@ -685,6 +685,19 @@ def q_group_sample_k(sf_dir):
     )
 
 
+def q_group_centroids(sf_dir):
+    """Per-label mean-pooled embedding centroids: components quantized to
+    integer micro-units before the distributed (label, dim) sum — int64
+    partials are associative, so the mean is provable vs the oracle; the
+    final s/n/1e6 division is the one shared IEEE chain."""
+    from statefulstreamprocessor_ray.stages.similarity import group_centroids
+
+    return group_centroids(
+        _embeddings(sf_dir).select_columns(["label", "embedding"]),
+        group_col="label",
+    )
+
+
 def q_percentile_filter(sf_dir):
     """Corpus-relative quality gate: keep docs with n_tokens >= the corpus
     P10 (quantile_disc element). Composition shape: metric pass ->
@@ -1319,6 +1332,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "percentile_filter": q_percentile_filter,
     "group_sample_k": q_group_sample_k,
+    "group_centroids": q_group_centroids,
     "doc_embedding_join": q_doc_embedding_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2621,6 +2635,25 @@ UNION ALL
 SELECT CAST(epoch AS BIGINT) AS epoch, event_type, 0.9 AS q,
        quantile_disc(value, 0.9) AS value, CAST(0 AS BIGINT) AS err_bound
 FROM p GROUP BY 1, 2
+"""
+
+# group_centroids: per-(label, dim) mean via micro-unit int sums; dim is
+# 1-based list indexing; x is FLOAT -> DOUBLE (exact) before the quantize;
+# the mean division chain (micro / n / 1e6) is shared with the engine
+ORACLE_SQL["group_centroids"] = r"""
+WITH u AS (
+  SELECT label, i AS dim, embedding[i] AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+), s AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_micro,
+         CAST(count(*) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, s_micro, n,
+       CAST(s_micro AS DOUBLE) / n / 1000000 AS centroid
+FROM s
 """
 
 # group_sample_k: exact-k per-group hash-min-k sample; md5_number_lower

@@ -335,3 +335,91 @@ def ivf_topk(
         concurrency=2,
     )
     return _merge_partials(partials, k)
+
+
+def group_centroids(
+    ds: ray.data.Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-group mean-pooled embedding centroids — the cluster-summary /
+    per-source-prototype op of an embedding-curation loop. Output one row
+    per (group, dim): ``(group, dim, s_micro, n, centroid)`` with ``dim``
+    1-based (the SQL list-index convention).
+
+    Vector components quantize to integer micro-units BEFORE any sum
+    (``round(float64(x) * 1e6)``; float32 -> float64 is exact), so partial
+    sums + the one group-keyed exchange are associative int64 arithmetic
+    and the mean is the single identical ``s / n / 1e6`` division chain on
+    both sides (the bigram_surprisal discipline — a float mean's addition
+    order is partition-dependent and unprovable vs an oracle). Scale
+    shape: per-batch (group, dim) partials (|groups-in-block| x d rows per
+    block, never the vectors), one linear group-sum exchange, ragged list
+    lengths handled via the Arrow offsets buffer — no per-row Python."""
+    import pandas as pd
+
+    from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        mask = pa.compute.and_(
+            pa.compute.is_valid(t[group_col]), pa.compute.is_valid(t[vec_col])
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        col = t[vec_col].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lab = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = np.repeat(lab, lens)
+        dim = (np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)) + 1
+        sm = np.round(flat * 1e6).astype(np.int64)
+        p = (
+            pd.DataFrame({group_col: g, "dim": dim, "sm": sm})
+            .groupby([group_col, "dim"], sort=False)
+            .agg(s=("sm", "sum"), n=("sm", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(p[group_col].to_numpy(np.int64), pa.int64()),
+                "dim": pa.array(p["dim"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(p["s"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(p["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    sums = sharded_group_sum(
+        ds.select_columns([group_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=[group_col, "dim"],
+        sums={"s": "s_micro", "n": "n"},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["s_micro"].to_numpy(np.int64)
+        n = b["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                group_col: b[group_col].to_numpy(np.int64),
+                "dim": b["dim"].to_numpy(np.int64),
+                "s_micro": s,
+                "n": n,
+                # identical IEEE chain both sides; deliberately unrounded
+                "centroid": s.astype(np.float64) / n / 1e6,
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -75,3 +75,46 @@ def test_ivf_query_always_finds_itself(embeddings):
     for q in QUERY_IDS:
         top = [r for r in rows if r[0] == q and r[1] == 1]
         assert top and top[0][2] == q  # rank-1 neighbor is the query itself
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_centroids_matches_numpy_and_handles_ragged():
+    """Micro-quantized centroid equals the naive quantized mean; ragged
+    list lengths and null rows are handled via the offsets buffer."""
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.similarity import group_centroids
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.standard_normal(3).astype(np.float32) for _ in range(20)]
+    vecs.append(rng.standard_normal(5).astype(np.float32))  # ragged tail
+    labels = [i % 4 for i in range(20)] + [0]
+    t = pa.table(
+        {
+            "label": pa.array(labels + [None, 2], pa.int32()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs] + [[1.0, 2.0], None],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = (
+        group_centroids(ray.data.from_arrow(t), group_col="label")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    # naive reference over valid rows only
+    ref = {}
+    for lab, v in zip(labels, vecs):
+        for d, x in enumerate(v, start=1):
+            sm = int(np.round(np.float64(x) * 1e6))
+            s, n = ref.get((lab, d), (0, 0))
+            ref[(lab, d)] = (s + sm, n + 1)
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        s, n = ref[(int(row["label"]), int(row["dim"]))]
+        assert int(row["s_micro"]) == s and int(row["n"]) == n
+        assert row["centroid"] == np.float64(s) / n / 1e6
+    # group 0's ragged vector contributes dims 4..5 with n == 1
+    assert (out[(out["label"] == 0) & (out["dim"] > 3)]["n"] == 1).all()
