@@ -698,6 +698,62 @@ def q_group_centroids(sf_dir):
     )
 
 
+def q_window_functions(sf_dir):
+    """SQL-window-function family over the event stream in ONE key
+    exchange: per user ordered by (ts, event_id) — row_number, LAG(value),
+    microseconds-since-previous, running micro-unit sum, trailing-4-row
+    micro-unit sum. The per-key ordered pass the reference runs as its
+    LocalStreamBuffer consume loop, here a lexsort + grouped prefix-sum
+    numpy kernel per shard (modular uint64 prefix sums keep differences
+    exact past int64 shard totals)."""
+    from statefulstreamprocessor_ray.stages.analytic import window_functions
+
+    return window_functions(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    )
+
+
+def q_percent_rank(sf_dir):
+    """Corpus-relative rank / percent_rank / cume_dist of every document by
+    length — no global sort: value-count partials (bounded by the metric's
+    cardinality) merge driver-side into prefix sums, then a broadcast
+    searchsorted lookup maps every row."""
+    from statefulstreamprocessor_ray.stages.analytic import percent_rank
+
+    return percent_rank(_documents(sf_dir, columns=["doc_id", "n_chars"]))
+
+
+def q_pivot_event_counts(sf_dir):
+    """Long->wide per-user activity matrix over the fixed event-type
+    vocabulary (n_click..n_view + n_total): map-side crosstab partials,
+    one group-keyed exchange of fixed-width counts."""
+    from statefulstreamprocessor_ray.stages.analytic import pivot_counts
+
+    return pivot_counts(_events(sf_dir, columns=["user_id", "event_type"]))
+
+
+def q_group_moments(sf_dir):
+    """Exact per-event-type sufficient statistics (n, micro-unit sum,
+    min/max, centi-unit sum of squares, mean) via associative integer
+    partials + one tiny group-keyed exchange — the distributed-moments
+    building block for z-score/variance quality gates."""
+    from statefulstreamprocessor_ray.stages.analytic import group_moments
+
+    return group_moments(_events(sf_dir, columns=["event_type", "value"]))
+
+
+def q_topk_per_group(sf_dir):
+    """Top-3 longest documents per source ordered by (n_chars DESC, doc_id)
+    with 1-based rk: associative partial top-k per batch, one group-keyed
+    exchange carrying <= k rows per (batch, group) — ranks by a VALUE
+    column, unlike hash-ordered group_sample_k."""
+    from statefulstreamprocessor_ray.stages.analytic import topk_per_group_by_value
+
+    return topk_per_group_by_value(
+        _documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+    )
+
+
 def q_percentile_filter(sf_dir):
     """Corpus-relative quality gate: keep docs with n_tokens >= the corpus
     P10 (quantile_disc element). Composition shape: metric pass ->
@@ -1333,6 +1389,11 @@ QUERIES = {
     "percentile_filter": q_percentile_filter,
     "group_sample_k": q_group_sample_k,
     "group_centroids": q_group_centroids,
+    "window_functions": q_window_functions,
+    "percent_rank": q_percent_rank,
+    "pivot_event_counts": q_pivot_event_counts,
+    "group_moments": q_group_moments,
+    "topk_per_group": q_topk_per_group,
     "doc_embedding_join": q_doc_embedding_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2715,4 +2776,77 @@ SELECT t.doc_id,
        CAST(coalesce(agg.n_distinct, 0) AS BIGINT) AS n_distinct,
        coalesce(CAST(agg.top AS DOUBLE) / agg.n_tokens, 0.0) AS top_token_frac
 FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+"""
+
+# window_functions: per-user ordered analytics; micro-unit quantization
+# BEFORE the window sums (the group_centroids discipline) so running/rolling
+# totals are associative integer arithmetic; prev_value/delta_us ride as
+# DOUBLE (NULL at each key's first row)
+ORACLE_SQL["window_functions"] = r"""
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 1000000.0) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(lag(value) OVER w AS DOUBLE) AS prev_value,
+  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) AS delta_us,
+  CAST(sum(vm) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micro,
+  CAST(sum(vm) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll4_micro
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# percent_rank: tie-stable SQL rank over n_chars; pr=(rank-1)/(n-1) and
+# cd=count(<=)/n are single shared divisions on both sides
+ORACLE_SQL["percent_rank"] = r"""
+SELECT doc_id, n_chars,
+  CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk,
+  percent_rank() OVER (ORDER BY n_chars) AS pr,
+  cume_dist() OVER (ORDER BY n_chars) AS cd
+FROM documents
+"""
+
+# pivot_event_counts: fixed event-type vocabulary baked into both sides
+# (the lsh_topk baked-constant precedent); n_total counts ALL types
+ORACLE_SQL["pivot_event_counts"] = r"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY 1
+"""
+
+# group_moments: NULL values dropped (SQL aggregate semantics); ssq in
+# centi-units (see stages/analytic.py for the int64 bound); mean is the one
+# shared s/n/1e6 division chain
+ORACLE_SQL["group_moments"] = r"""
+WITH q AS (
+  SELECT event_type,
+         CAST(round(value * 1000000.0) AS BIGINT) AS vm,
+         CAST(round(value * 100.0) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(vm) AS BIGINT) AS s_micro,
+  CAST(min(vm) AS BIGINT) AS min_micro,
+  CAST(max(vm) AS BIGINT) AS max_micro,
+  CAST(sum(vc * vc) AS BIGINT) AS ssq_centi,
+  CAST(sum(vm) AS DOUBLE) / count(*) / 1000000 AS mean
+FROM q GROUP BY 1
+"""
+
+# topk_per_group: value-ordered per-group top-k, (n_chars DESC, doc_id)
+# tie-break makes row_number deterministic
+ORACLE_SQL["topk_per_group"] = r"""
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 3
 """
