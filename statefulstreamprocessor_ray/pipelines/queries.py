@@ -754,6 +754,31 @@ def q_topk_per_group(sf_dir):
     )
 
 
+def q_pricing_summary(sf_dir):
+    """TPC-H Q1 shape over the star schema: predicate+column-pruned lineitem
+    read, micro-unit integer partials, one 6-group keyed exchange."""
+    from statefulstreamprocessor_ray.pipelines.tpch import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3 shape: revenue combined per orderkey BEFORE the fact-fact
+    join, orders semi-joined to the segment's customers via the linear hash
+    join, associative global top-10."""
+    from statefulstreamprocessor_ray.pipelines.tpch import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
+def q_local_supplier_volume(sf_dir):
+    """TPC-H Q5 shape: broadcast dims (region->nation, supplier), two
+    partitioned fact joins, same-nation gate, one group-sum exchange."""
+    from statefulstreamprocessor_ray.pipelines.tpch import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
 def q_percentile_filter(sf_dir):
     """Corpus-relative quality gate: keep docs with n_tokens >= the corpus
     P10 (quantile_disc element). Composition shape: metric pass ->
@@ -1389,6 +1414,9 @@ QUERIES = {
     "percentile_filter": q_percentile_filter,
     "group_sample_k": q_group_sample_k,
     "group_centroids": q_group_centroids,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "window_functions": q_window_functions,
     "percent_rank": q_percent_rank,
     "pivot_event_counts": q_pivot_event_counts,
@@ -2849,4 +2877,67 @@ SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
          row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
   FROM documents
 ) WHERE rk <= 3
+"""
+
+# pricing_summary: TPC-H Q1 shape; money expressions quantize to micro-units
+# AFTER the identical per-row IEEE chain (ep*(1-d), ep*(1-d)*(1+t)); the
+# averages are the one shared s/n/1e6 division
+ORACLE_SQL["pricing_summary"] = r"""
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity * 1000000.0) AS BIGINT) AS qty_micro,
+    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS base_micro,
+    CAST(round(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT) AS disc_micro,
+    CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT) AS charge_micro,
+    CAST(round(l_discount * 1000000.0) AS BIGINT) AS discv_micro
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(qty_micro) AS BIGINT) AS sum_qty_micro,
+  CAST(sum(base_micro) AS BIGINT) AS sum_base_micro,
+  CAST(sum(disc_micro) AS BIGINT) AS sum_disc_micro,
+  CAST(sum(charge_micro) AS BIGINT) AS sum_charge_micro,
+  CAST(count(*) AS BIGINT) AS count_order,
+  CAST(sum(qty_micro) AS DOUBLE) / count(*) / 1000000 AS avg_qty,
+  CAST(sum(base_micro) AS DOUBLE) / count(*) / 1000000 AS avg_price,
+  CAST(sum(discv_micro) AS DOUBLE) / count(*) / 1000000 AS avg_disc
+FROM q GROUP BY 1, 2
+"""
+
+# shipping_priority: TPC-H Q3 shape; (revenue DESC, orderkey) makes the
+# top-10 row set deterministic under revenue ties
+ORACLE_SQL["shipping_priority"] = r"""
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), o AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+  JOIN c ON o_custkey = c_custkey
+  WHERE o_orderdate < TIMESTAMP '1998-03-15'
+), r AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micro
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY 1
+)
+SELECT l_orderkey, revenue_micro, o_orderdate, o_orderpriority FROM (
+  SELECT r.l_orderkey, r.revenue_micro, o.o_orderdate, o.o_orderpriority,
+         row_number() OVER (ORDER BY r.revenue_micro DESC, r.l_orderkey) AS rk
+  FROM r JOIN o ON r.l_orderkey = o.o_orderkey
+) WHERE rk <= 10
+"""
+
+# local_supplier_volume: TPC-H Q5 shape; the same-nation supplier gate runs
+# AFTER the joins on both sides
+ORACLE_SQL["local_supplier_volume"] = r"""
+SELECT n.n_name,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
 """

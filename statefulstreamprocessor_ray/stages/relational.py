@@ -32,6 +32,17 @@ def _collect_small(ds: ray.data.Dataset) -> pd.DataFrame:
     )
 
 
+def ensure_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Anchor a dataset's schema: zero-row Ray datasets drop their schema
+    through projections/joins (``schema()`` -> None), which breaks any
+    downstream stage that needs Arrow types (the join sentinel builders,
+    key casts). Unioning one empty Arrow table with the intended schema
+    guarantees ``schema()`` survives a fully-filtered input at the cost of
+    one empty block — call it on any intermediate that can legally come out
+    empty before feeding it to a join."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
+
+
 def broadcast_join(
     big: ray.data.Dataset,
     small: ray.data.Dataset | pd.DataFrame,
@@ -236,7 +247,22 @@ def partitioned_join(
         except Exception:
             n_shards = 16
 
-    l_schema, r_schema = left.schema(), right.schema()
+    def _arrow_schema(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, "pa.Schema"]:
+        # a side fed by a pandas-format stage reports a PandasBlockSchema
+        # (numpy dtypes / Python classes) — the sentinel builder and key-cast
+        # logic need real Arrow types, so round the blocks through Arrow once
+        s = ds.schema()
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return ds, base
+        ds = ds.map_batches(
+            lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+        )
+        s = ds.schema()
+        return ds, getattr(s, "base_schema", s)
+
+    left, l_schema = _arrow_schema(left)
+    right, r_schema = _arrow_schema(right)
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
     # a shared name is only legitimate when it is the join key on BOTH sides;
