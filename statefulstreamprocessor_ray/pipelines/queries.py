@@ -754,6 +754,43 @@ def q_topk_per_group(sf_dir):
     )
 
 
+def q_histogram(sf_dir):
+    """Fixed-width histogram of event values: per-batch bincount partials,
+    one bin-keyed exchange; bin = floor(v/25) is the single shared IEEE op."""
+    from statefulstreamprocessor_ray.stages.analytic import histogram
+
+    return histogram(_events(sf_dir, columns=["value"]), width=25.0)
+
+
+def q_rollup_aggregate(sf_dir):
+    """GROUP BY ROLLUP (returnflag, linestatus): one finest-level exchange,
+    coarser levels re-derived from the aggregated finest table (associative
+    integer sums), grouping() markers on every row."""
+    from statefulstreamprocessor_ray.stages.analytic import rollup_aggregate
+
+    return rollup_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        )
+    )
+
+
+def q_group_comoments(sf_dir):
+    """Pearson corr of (quantity, extendedprice) per returnflag via exact
+    bivariate integer sufficient statistics + the one shared IEEE
+    correlation chain."""
+    from statefulstreamprocessor_ray.stages.analytic import group_comoments
+
+    return group_comoments(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ),
+        y_scale=100.0,
+    )
+
+
 def q_pricing_summary(sf_dir):
     """TPC-H Q1 shape over the star schema: predicate+column-pruned lineitem
     read, micro-unit integer partials, one 6-group keyed exchange."""
@@ -1414,6 +1451,9 @@ QUERIES = {
     "percentile_filter": q_percentile_filter,
     "group_sample_k": q_group_sample_k,
     "group_centroids": q_group_centroids,
+    "histogram": q_histogram,
+    "rollup_aggregate": q_rollup_aggregate,
+    "group_comoments": q_group_comoments,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
@@ -2940,4 +2980,50 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
+"""
+
+# histogram: bin = floor(v/25) is the identical single division+floor; lo/hi
+# are single products of the int64 bin
+ORACLE_SQL["histogram"] = r"""
+WITH b AS (
+  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events WHERE value IS NOT NULL
+)
+SELECT bin, bin * 25.0 AS lo, (bin + 1) * 25.0 AS hi, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1
+"""
+
+# rollup_aggregate: grouping() markers distinguish a rolled-up NULL from a
+# real NULL key; integer micro-unit sums re-aggregate associatively across
+# levels
+ORACLE_SQL["rollup_aggregate"] = r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_l_returnflag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# group_comoments: x, y both centi-units — integer-unit rounding of
+# 2-decimal prices hits exact .5 halves where np (half-even) and DuckDB
+# (half-away) diverge; centi never does. sum(y^2) ~7e18 < 2^63 through
+# sf0.1 (the documented int64 bound); corr is the one shared all-double
+# chain, sqrt is IEEE-exact
+ORACLE_SQL["group_comoments"] = r"""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100.0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+  CAST(sum(x*y) AS BIGINT) AS sxy,
+  (CAST(count(*) AS DOUBLE) * CAST(sum(x*y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+    / sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+    / sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y*y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) AS corr
+FROM q GROUP BY 1
 """

@@ -332,3 +332,176 @@ def topk_per_group_by_value(
         return df[[group_col, id_col, value_col, "rk"]]
 
     return shard_map(partials, group_col, final, batch_format="pandas")
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    col: str = "value",
+    width: float = 25.0,
+) -> ray.data.Dataset:
+    """Fixed-width histogram of a numeric column: one row per occupied bin
+    with ``(bin, lo, hi, n)``. ``bin = floor(v / width)`` is the identical
+    single IEEE division+floor on both sides; per-batch bincount partials
+    make the exchange carry |occupied-bins-in-batch| rows per batch — the
+    distribution-sketch complement of percent_rank (which needs the exact
+    per-row rank, this needs only the binned shape)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        bins = np.floor(v / width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sums = sharded_group_sum(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["bin"],
+        sums={"n": "n"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bin"].to_numpy(np.int64).astype(np.float64)
+        df = df.copy()
+        df["lo"] = b * width
+        df["hi"] = (b + 1) * width
+        return df[["bin", "lo", "hi", "n"]]
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: tuple[str, str] = ("l_returnflag", "l_linestatus"),
+    value_col: str = "l_quantity",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP (k1, k2)``: the finest (k1, k2) level plus the
+    (k1) subtotals plus the grand total, each row carrying ``grouping()``
+    markers (1 = rolled up). ONE exchange moves only the finest-level
+    integer partials; the coarser levels are derived from the aggregated
+    finest table in a single task — exact because integer sums re-aggregate
+    associatively. That single task holds |distinct k1 x k2| rows, so this
+    shape is for low-cardinality rollup keys (the SQL use case); a
+    high-cardinality rollup would derive each level with its own keyed
+    exchange instead."""
+    k1, k2 = keys
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                k1: t[k1].to_pandas(),
+                k2: t[k2].to_pandas(),
+                "s": np.round(v * MICRO).astype(np.int64),
+            }
+        )
+        out = df.groupby([k1, k2], sort=False, dropna=False).agg(
+            n=("s", "size"), s=("s", "sum")
+        )
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    finest = sharded_group_sum(
+        ds.select_columns([k1, k2, value_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=[k1, k2],
+        sums={"n": "n", "s": "s"},
+        dropna=False,  # SQL GROUP BY keeps NULL key groups
+    )
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.copy()
+        fine["g1"], fine["g2"] = 0, 0
+        sub = df.groupby(k1, sort=False, as_index=False, dropna=False)[
+            ["n", "s"]
+        ].sum()
+        sub[k2] = None
+        sub["g1"], sub["g2"] = 0, 1
+        tot = pd.DataFrame(
+            {
+                k1: [None],
+                k2: [None],
+                "n": [df["n"].sum()],
+                "s": [df["s"].sum()],
+                "g1": [1],
+                "g2": [1],
+            }
+        )
+        out = pd.concat([fine, sub, tot], ignore_index=True)
+        out = out.rename(
+            columns={"g1": f"g_{k1}", "g2": f"g_{k2}", "s": "sum_micro"}
+        )
+        return out[[k1, k2, f"g_{k1}", f"g_{k2}", "n", "sum_micro"]].astype(
+            {"n": np.int64, "sum_micro": np.int64}
+        )
+
+    return finest.repartition(1).map_batches(
+        levels, batch_format="pandas", batch_size=None
+    )
+
+
+def group_comoments(
+    ds: ray.data.Dataset,
+    group_col: str = "l_returnflag",
+    x_col: str = "l_quantity",
+    y_col: str = "l_extendedprice",
+    x_scale: float = 100.0,
+    y_scale: float = 1.0,
+) -> ray.data.Dataset:
+    """Exact bivariate sufficient statistics per group — n, sum(x), sum(y),
+    sum(x²), sum(y²), sum(xy) over fixed-point quantized values — plus the
+    Pearson ``corr`` derived through the one shared IEEE chain
+    ``(n·sxy − sx·sy) / sqrt(n·sxx − sx²) / sqrt(n·syy − sy²)`` (every
+    operand promoted to float64 first; sqrt is correctly rounded per IEEE,
+    so engine and oracle agree bit-for-bit). Rows where either side is NULL
+    are dropped (SQL corr semantics). int64 bound: sum(q²) caps rows per
+    group at ~2^63/max(q²) — pick scales so quantized magnitudes keep that
+    above the corpus size (the group_moments discipline)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[x_col].notna() & df[y_col].notna() & df[group_col].notna()]
+        x = np.round(df[x_col].to_numpy(np.float64) * x_scale).astype(np.int64)
+        y = np.round(df[y_col].to_numpy(np.float64) * y_scale).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                group_col: df[group_col].to_numpy(),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return p.groupby(group_col, sort=False, as_index=False).sum()
+
+    sums = sharded_group_sum(
+        ds.select_columns([group_col, x_col, y_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=[group_col],
+        sums={c: c for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64).astype(np.float64)
+        sx = df["sx"].to_numpy(np.int64).astype(np.float64)
+        sy = df["sy"].to_numpy(np.int64).astype(np.float64)
+        sxx = df["sxx"].to_numpy(np.int64).astype(np.float64)
+        syy = df["syy"].to_numpy(np.int64).astype(np.float64)
+        sxy = df["sxy"].to_numpy(np.int64).astype(np.float64)
+        df = df.copy()
+        df["corr"] = (
+            (n * sxy - sx * sy)
+            / np.sqrt(n * sxx - sx * sx)
+            / np.sqrt(n * syy - sy * sy)
+        )
+        return df
+
+    return sums.map_batches(finish, batch_format="pandas")

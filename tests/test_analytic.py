@@ -195,3 +195,82 @@ def test_topk_value_ties_break_on_id_and_short_groups():
     assert list(s1["rk"]) == [1, 2, 3]
     s2 = out[out["source"] == "s2"]
     assert len(s2) == 1 and s2["rk"].iloc[0] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_histogram_negative_values_floor():
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.analytic import histogram
+
+    df = pd.DataFrame({"value": [-30.0, -1.0, 0.0, 24.9, 25.0, None]})
+    out = (
+        histogram(ray.data.from_pandas(df), width=25.0)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    # floor semantics: -30 -> bin -2, -1 -> bin -1, [0,25) -> 0, 25 -> 1
+    assert out.loc[-2, "n"] == 1 and out.loc[-1, "n"] == 1
+    assert out.loc[0, "n"] == 2 and out.loc[1, "n"] == 1
+    assert out.loc[-2, "lo"] == -50.0 and out.loc[-2, "hi"] == -25.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_markers_distinguish_real_null_key():
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.analytic import rollup_aggregate
+
+    df = pd.DataFrame(
+        {
+            "k1": ["a", "a", None],
+            "k2": ["x", "y", "x"],
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    out = rollup_aggregate(
+        ray.data.from_pandas(df), keys=("k1", "k2"), value_col="v"
+    ).to_pandas()
+    # grand total row: markers (1,1), n=3
+    tot = out[(out["g_k1"] == 1) & (out["g_k2"] == 1)]
+    assert len(tot) == 1 and tot["n"].iloc[0] == 3
+    assert tot["sum_micro"].iloc[0] == 7_000_000
+    # the REAL-null k1 group appears at the subtotal level with marker 0
+    sub = out[(out["g_k1"] == 0) & (out["g_k2"] == 1)]
+    real_null = sub[sub["k1"].isna()]
+    assert len(real_null) == 1 and real_null["n"].iloc[0] == 1
+    # finest level has 3 groups: (a,x), (a,y), (None,x)
+    fine = out[(out["g_k1"] == 0) & (out["g_k2"] == 0)]
+    assert len(fine) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_comoments_perfect_correlation_and_null_drop():
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.analytic import group_comoments
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "x": [1.0, 2.0, 3.0, None, 1.0, 2.0, 3.0],
+            "y": [2.0, 4.0, 6.0, 9.0, 3.0, 2.0, 1.0],
+        }
+    )
+    out = (
+        group_comoments(
+            ray.data.from_pandas(df),
+            group_col="g",
+            x_col="x",
+            y_col="y",
+            x_scale=100.0,
+            y_scale=100.0,
+        )
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    assert out.loc["a", "n"] == 3  # null x dropped
+    assert out.loc["a", "corr"] == pytest.approx(1.0)
+    assert out.loc["b", "corr"] == pytest.approx(-1.0)
