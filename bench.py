@@ -250,6 +250,47 @@ def bench_cep(sf_dir: str) -> dict:
     return _best2(q_cep_funnel, sf_dir)
 
 
+def bench_analytic(sf_dir: str) -> dict:
+    """Window-function family over the event stream: one key exchange +
+    lexsorted grouped prefix-sum kernel (the heaviest analytic-family op —
+    per-row output, unlike the tiny-aggregate siblings)."""
+    from statefulstreamprocessor_ray.pipelines.queries import q_window_functions
+
+    return _best2(q_window_functions, sf_dir)
+
+
+def bench_tpch(sf_dir: str) -> dict:
+    """The three star-schema shapes back-to-back (Q1 pruned-read aggregate,
+    Q3 semi-join + pre-aggregated fact join + global top-k, Q5 broadcast-dim
+    double fact join) — one number for the relational-pipeline family."""
+    from statefulstreamprocessor_ray.pipelines.queries import (
+        q_local_supplier_volume,
+        q_pricing_summary,
+        q_shipping_priority,
+    )
+
+    def all_three(sf):
+        import pandas as pd
+
+        a = q_pricing_summary(sf).to_pandas()
+        b = q_shipping_priority(sf).to_pandas()
+        c = q_local_supplier_volume(sf).to_pandas()
+        return pd.concat(
+            [a[["l_returnflag"]].assign(src="q1"),
+             b[["l_orderkey"]].astype(str).rename(columns={"l_orderkey": "l_returnflag"}).assign(src="q3"),
+             c[["n_name"]].rename(columns={"n_name": "l_returnflag"}).assign(src="q5")],
+            ignore_index=True,
+        )
+
+    dt, n = 1e18, 0
+    for _ in range(2):
+        t0 = time.time()
+        out = all_three(sf_dir)
+        n = len(out)
+        dt = min(dt, time.time() - t0)
+    return {"sec": dt, "rows": n}
+
+
 def bench_corpus_build(sf_dir: str) -> dict:
     """Composed corpus-build pipeline: scrub -> quality filter -> exact +
     Jaccard dedup -> decontaminate -> sample -> chunk."""
@@ -449,6 +490,8 @@ def run_bench() -> dict:
         "streaming_windows": lambda: bench_streaming_windows(SF_DIR),
         "multimodal_real": lambda: bench_multimodal_real(SF_DIR),
         "sketches": lambda: bench_sketches(SF_DIR),
+        "analytic": lambda: bench_analytic(SF_DIR),
+        "tpch": lambda: bench_tpch(SF_DIR),
     }
     results = {}
     for name, fn in benches.items():

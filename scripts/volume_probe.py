@@ -177,6 +177,7 @@ def main() -> None:
         "sketch": 4.0,
         "bm25": 4.0,
         "squantile": 2.0,
+        "analytic": 4.0,
     }
     gib = float(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 10.0)
 
@@ -540,6 +541,75 @@ def main() -> None:
                 rows_per_sec=int(out["input_rows"] / dt),
                 input_gib_per_sec=round(out["input_gib"] / dt, 2),
             )
+        elif mode == "analytic":
+            # round-5 window-function family at volume: per-key ordered
+            # analytics (rn / lag / running / rolling sums) over a generated
+            # event stream. value=1.0 makes every output row independently
+            # checkable in closed form (cum_micro == rn*1e6, roll4 ==
+            # min(rn,4)*1e6), so the probe validates the WHOLE output while
+            # consuming it as a stream — no driver materialization.
+            import pyarrow.compute as pc_
+            import ray.data
+
+            from statefulstreamprocessor_ray.stages.analytic import (
+                window_functions,
+            )
+
+            rows = int(gib * 2**30 / 32)  # ~32 B/row on disk
+            n_users = max(1024, rows // 64)
+
+            def make(batch: pd.DataFrame) -> pa.Table:
+                ids = batch["id"].to_numpy(np.int64)
+                return pa.table(
+                    {
+                        "event_id": pa.array(ids, pa.int64()),
+                        "ts": pa.array(
+                            (int(BASE_EPOCH_S) * 1_000_000 + ids * 1_000_000),
+                            pa.timestamp("us"),
+                        ),
+                        "user_id": pa.array(ids % n_users, pa.int64()),
+                        "value": pa.array(np.ones(len(ids)), pa.float64()),
+                    }
+                )
+
+            ray.data.range(rows, override_num_blocks=64).map_batches(
+                make, batch_size=262144, batch_format="pandas"
+            ).write_parquet(f"{base}/input")
+            out["gen_sec"] = round(time.time() - t0, 1)
+            out["input_gib"] = round(_dir_gib(f"{base}/input"), 2)
+            out["input_rows"] = rows
+
+            t1 = time.time()
+            res = window_functions(ray.data.read_parquet(f"{base}/input"))
+
+            def validate(t: pa.Table) -> pa.Table:
+                rn = t["rn"].to_numpy(zero_copy_only=False)
+                cum = t["cum_micro"].to_numpy(zero_copy_only=False)
+                roll = t["roll4_micro"].to_numpy(zero_copy_only=False)
+                bad = int(
+                    (cum != rn * 1_000_000).sum()
+                    + (roll != np.minimum(rn, 4) * 1_000_000).sum()
+                )
+                return pa.table(
+                    {
+                        "n": pa.array([t.num_rows], pa.int64()),
+                        "bad": pa.array([bad], pa.int64()),
+                    }
+                )
+
+            checked = res.map_batches(
+                validate, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()
+            dt = time.time() - t1
+            out.update(
+                sec=round(dt, 1),
+                rows=int(checked["n"].sum()),
+                violations=int(checked["bad"].sum()),
+                rows_per_sec=int(rows / dt),
+                input_gib_per_sec=round(out["input_gib"] / dt, 2),
+            )
+            assert out["rows"] == rows, (out["rows"], rows)
+            assert out["violations"] == 0
         else:
             raise SystemExit(f"unknown mode {mode}")
         out["spilled_mib"] = _spill_mib()
