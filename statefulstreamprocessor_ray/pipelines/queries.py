@@ -1309,6 +1309,54 @@ def q_streaming_distinct(sf_dir):
     )
 
 
+def q_streaming_window_functions(sf_dir):
+    """Streaming window functions: the events table replayed as 3
+    event_id-ordered arrival epochs through StreamingWindowFnJob — fixed-size
+    per-key state (count, modular cumulative sum, last ts/value, trailing
+    ring) carried across epochs, each epoch's per-row window outputs emitted
+    exactly once. The oracle recomputes the same epoch slicing and windows
+    over the total arrival order (epoch, ts, event_id)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_analytic import (
+        StreamingWindowFnConfig,
+        StreamingWindowFnJob,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("swindowfn", "events", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    tbl = tbl.sort_by("event_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingWindowFnConfig(
+        input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out", n_shards=4
+    )
+    StreamingWindowFnJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        [
+            "epoch",
+            "event_id",
+            "user_id",
+            "rn",
+            "prev_value",
+            "delta_us",
+            "cum_micro",
+            "roll4_micro",
+        ]
+    )
+
+
 def q_streaming_quantiles(sf_dir):
     """Streaming quantiles: the events table replayed as 3 event_id-ordered
     arrival epochs through StreamingQuantileJob — per-group weighted-sample
@@ -1451,6 +1499,7 @@ QUERIES = {
     "percentile_filter": q_percentile_filter,
     "group_sample_k": q_group_sample_k,
     "group_centroids": q_group_centroids,
+    "streaming_window_functions": q_streaming_window_functions,
     "histogram": q_histogram,
     "rollup_aggregate": q_rollup_aggregate,
     "group_comoments": q_group_comoments,
@@ -3026,4 +3075,30 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
     / sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
     / sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y*y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) AS corr
 FROM q GROUP BY 1
+"""
+
+# streaming_window_functions: same epoch slicing as streaming_distinct
+# (event_id-rank thirds), then the window_functions oracle over the TOTAL
+# ARRIVAL order (epoch, ts, event_id) — the incremental evaluation's union
+# across epochs must equal this batch window exactly
+ORACLE_SQL["streaming_window_functions"] = r"""
+WITH r AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER (ORDER BY event_id) - 1 AS rn0,
+         count(*) OVER () AS n
+  FROM events
+), e AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN rn0 < n//3 THEN 0 WHEN rn0 < (2*n)//3 THEN 1 ELSE 2 END AS epoch,
+         CAST(round(value * 1000000.0) AS BIGINT) AS vm
+  FROM r
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(lag(value) OVER w AS DOUBLE) AS prev_value,
+  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) AS delta_us,
+  CAST(sum(vm) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micro,
+  CAST(sum(vm) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll4_micro
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch, ts, event_id)
 """
