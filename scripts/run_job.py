@@ -182,7 +182,25 @@ def main() -> None:
     qt.add_argument("--limit", type=int, default=65536)
     qt.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w, cp, dd, cb, mh, dc, tk, qt):
+    wf = sub.add_parser(
+        "windowfn",
+        help="streaming window functions: per-key rn/lag/delta/running/"
+        "rolling outputs per arrival epoch, fixed-size per-key state "
+        "(pipelines/streaming_analytic)",
+    )
+    wf.add_argument("--input", required=True, help="events parquet dir")
+    wf.add_argument("--work", required=True)
+    wf.add_argument("--out", required=True)
+    wf.add_argument("--shards", type=int, default=4)
+    wf.add_argument("--files-per-epoch", type=int, default=1)
+    wf.add_argument("--key-col", default="user_id")
+    wf.add_argument("--ts-col", default="ts")
+    wf.add_argument("--id-col", default="event_id")
+    wf.add_argument("--value-col", default="value")
+    wf.add_argument("--roll-rows", type=int, default=4)
+    wf.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp, dd, cb, mh, dc, tk, qt, wf):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -343,6 +361,26 @@ def main() -> None:
         )
         stats = StreamingQuantileJob(qcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "quantiles", **stats}))
+    elif args.mode == "windowfn":
+        from statefulstreamprocessor_ray.pipelines.streaming_analytic import (
+            StreamingWindowFnConfig,
+            StreamingWindowFnJob,
+        )
+
+        wcfg = StreamingWindowFnConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            id_col=args.id_col,
+            value_col=args.value_col,
+            roll_rows=args.roll_rows,
+        )
+        stats = StreamingWindowFnJob(wcfg).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "windowfn", **stats}))
     elif args.mode == "corpus":
         import os
 
