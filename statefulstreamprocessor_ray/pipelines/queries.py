@@ -754,6 +754,31 @@ def q_topk_per_group(sf_dir):
     )
 
 
+def q_latest_per_key(sf_dir):
+    """Upsert/CDC compaction: the most recent full event row per user by
+    (ts DESC, event_id DESC); associative per-batch argmax, one key
+    exchange carrying at most one row per (batch, key)."""
+    from statefulstreamprocessor_ray.stages.analytic import latest_per_key
+
+    return latest_per_key(
+        _events(
+            sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+    )
+
+
+def q_group_checksum(sf_dir):
+    """Order-insensitive per-source content checksum (migration-validation
+    integrity op): md5 mode pins DuckDB's md5_number_lower digest + HUGEINT
+    sum mod a 2^53-scale prime; sip mode is the vectorized uint64-wraparound
+    scale path (differential-tested)."""
+    from statefulstreamprocessor_ray.stages.curation import group_checksum
+
+    return group_checksum(
+        _documents(sf_dir, columns=["source", "text"]), hash_fn="md5"
+    )
+
+
 def q_histogram(sf_dir):
     """Fixed-width histogram of event values: per-batch bincount partials,
     one bin-keyed exchange; bin = floor(v/25) is the single shared IEEE op."""
@@ -1500,6 +1525,8 @@ QUERIES = {
     "group_sample_k": q_group_sample_k,
     "group_centroids": q_group_centroids,
     "streaming_window_functions": q_streaming_window_functions,
+    "latest_per_key": q_latest_per_key,
+    "group_checksum": q_group_checksum,
     "histogram": q_histogram,
     "rollup_aggregate": q_rollup_aggregate,
     "group_comoments": q_group_comoments,
@@ -3101,4 +3128,25 @@ SELECT CAST(epoch AS BIGINT) AS epoch, event_id, CAST(user_id AS BIGINT) AS user
   CAST(sum(vm) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll4_micro
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch, ts, event_id)
+"""
+
+# latest_per_key: CDC/upsert compaction — most recent full row per user,
+# (ts DESC, event_id DESC) makes the argmax row deterministic
+ORACLE_SQL["latest_per_key"] = r"""
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+# group_checksum: order-insensitive integrity digest — md5_number_lower per
+# row mod a 2^53-scale prime, HUGEINT group sum mod the same prime (the
+# engine's exact-Python-int pendant)
+ORACLE_SQL["group_checksum"] = r"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(md5_number_lower(text) % 9007199254740997) % 9007199254740997 AS BIGINT) AS checksum
+FROM documents
+WHERE text IS NOT NULL AND source IS NOT NULL
+GROUP BY 1
 """

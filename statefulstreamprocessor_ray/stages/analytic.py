@@ -505,3 +505,27 @@ def group_comoments(
         return df
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def latest_per_key(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Upsert / CDC compaction: the most recent full row per key by
+    ``(ts DESC, tie DESC)`` — the "current state of every entity" pass a
+    changelog or event stream needs before joining as a dimension. Argmax
+    is associative: each batch forwards at most one row per key it saw, one
+    group-keyed exchange, final argmax per key — the exchange carries
+    |keys-in-batch| rows per batch, never the history."""
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_shard"], errors="ignore")
+        df = df.sort_values(
+            [key_col, ts_col, tie_col], ascending=[True, False, False]
+        )
+        return df.groupby(key_col, sort=False).head(1)
+
+    partials = ds.map_batches(keep_latest, batch_format="pandas")
+    return shard_map(partials, key_col, keep_latest, batch_format="pandas")

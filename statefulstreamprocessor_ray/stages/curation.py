@@ -676,3 +676,84 @@ def group_sample_exact_k(
         topk, batch_format="pandas"
     )
     return shard_map(partials, [group_col], finalize, batch_format="pandas")
+
+
+def group_checksum(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    hash_fn: str = "sip",
+    mod: int = 9007199254740997,
+):
+    """Order-insensitive per-group content checksum + row count — the
+    table-integrity op a migration/backfill validates with (same rows in
+    both systems ⇔ same checksum per group, any arrival order).
+
+    ``sip`` (default, scale path): ``pd.util.hash_array`` per row, per-group
+    uint64 WRAPAROUND sums — fully vectorized, associative mod 2^64, exact.
+    ``md5`` (oracle mode): DuckDB-reproducible
+    ``sum(md5_number_lower(text) % mod) % mod`` — per-row digests mod a
+    2^53-scale prime, group-summed in exact Python ints (the oracle's
+    HUGEINT sum pendant); per-string hashlib, small-sf paths only (the
+    group_sample_exact_k dual-mode precedent)."""
+    import numpy as np
+    import pandas as pd
+
+    from statefulstreamprocessor_ray.functions.ops import shard_map
+    from statefulstreamprocessor_ray.stages.dedup import _md5_u64
+
+    if hash_fn not in ("sip", "md5"):
+        raise ValueError("hash_fn must be 'sip' or 'md5'")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[text_col].notna() & df[group_col].notna()]
+        texts = df[text_col].astype(str)
+        if hash_fn == "md5":
+            h = _md5_u64(list(texts)) % np.uint64(mod)
+        else:
+            h = pd.util.hash_array(texts.to_numpy(), categorize=False)
+        p = pd.DataFrame({group_col: df[group_col].to_numpy(), "h": h})
+        g = p.groupby(group_col, sort=False)
+        # object-dtype sum = exact Python ints (no int64 overflow), then
+        # reduce mod for the md5 mode; sip keeps the full uint64 wrap
+        s = g["h"].apply(lambda x: int(x.astype(object).sum()))
+        if hash_fn == "md5":
+            c = np.array([int(v) % mod for v in s], np.int64)
+        else:
+            # sip partials ride as uint64 (Arrow-typed; object ints >= 2^63
+            # overflow the block conversion)
+            c = np.array([int(v) % (1 << 64) for v in s], np.uint64)
+        out = pd.DataFrame(
+            {
+                group_col: s.index.to_numpy(),
+                "c": c,
+                "n": g.size().to_numpy(np.int64),
+            }
+        )
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)
+        s = g["c"].apply(lambda x: int(x.astype(object).sum()))
+        s = s % mod if hash_fn == "md5" else s % (1 << 64)
+        checksum = (
+            s.to_numpy(np.int64)
+            if hash_fn == "md5"
+            else s.astype(np.uint64).to_numpy(np.uint64).view(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                group_col: s.index.to_numpy(),
+                "n_docs": g["n"].sum().to_numpy(np.int64),
+                "checksum": checksum,
+            }
+        )
+
+    return shard_map(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        group_col,
+        merge,
+        batch_format="pandas",
+    )

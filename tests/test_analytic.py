@@ -274,3 +274,70 @@ def test_group_comoments_perfect_correlation_and_null_drop():
     assert out.loc["a", "n"] == 3  # null x dropped
     assert out.loc["a", "corr"] == pytest.approx(1.0)
     assert out.loc["b", "corr"] == pytest.approx(-1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_per_key_tie_breaks_and_argmax():
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.analytic import latest_per_key
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([100, 200, 200, 50], unit="s"),
+            "user_id": [7, 7, 7, 8],
+            "value": [1.0, 2.0, 3.0, 9.0],
+        }
+    )
+    out = (
+        latest_per_key(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # ts tie at 200 -> larger event_id wins
+    assert out.loc[7, "event_id"] == 3 and out.loc[7, "value"] == 3.0
+    assert out.loc[8, "event_id"] == 4
+    assert "_shard" not in out.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_checksum_order_invariant_and_content_sensitive():
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.curation import group_checksum
+
+    base = pd.DataFrame(
+        {
+            "source": ["a", "a", "a", "b"],
+            "text": ["x", "y", "z", "w"],
+        }
+    )
+    perm = base.iloc[[2, 0, 3, 1]].reset_index(drop=True)
+    changed = base.copy()
+    changed.loc[1, "text"] = "Y"
+
+    for mode in ("sip", "md5"):
+        c1 = (
+            group_checksum(ray.data.from_pandas(base), hash_fn=mode)
+            .to_pandas()
+            .set_index("source")
+            .sort_index()
+        )
+        c2 = (
+            group_checksum(ray.data.from_pandas(perm), hash_fn=mode)
+            .to_pandas()
+            .set_index("source")
+            .sort_index()
+        )
+        c3 = (
+            group_checksum(ray.data.from_pandas(changed), hash_fn=mode)
+            .to_pandas()
+            .set_index("source")
+            .sort_index()
+        )
+        assert (c1["checksum"] == c2["checksum"]).all(), mode  # order-free
+        assert c1.loc["a", "checksum"] != c3.loc["a", "checksum"], mode
+        assert c1.loc["b", "checksum"] == c3.loc["b", "checksum"], mode
+        assert c1.loc["a", "n_docs"] == 3
