@@ -471,6 +471,33 @@ def q_doc_embedding_join(sf_dir):
     ).sort("doc_id")
 
 
+def q_outer_join(sf_dir):
+    """Distributed FULL OUTER join with genuinely unmatched rows on BOTH
+    sides (docs doc_id%3!=0 vs embeddings vec_id%2==0): the coalesced Acero
+    key is re-split into l.key / r.key with side-match masks, null keys
+    match nothing but still surface on their own side."""
+    docs = _documents(sf_dir, columns=["doc_id", "source"])
+    docs = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 3 != 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "label"])
+    emb = emb.map_batches(
+        lambda t: t.filter(
+            pa.array(t["vec_id"].to_numpy(zero_copy_only=False) % 2 == 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = relational.partitioned_join(
+        docs, emb, left_on="doc_id", right_on="vec_id", how="outer"
+    )
+    return out.select_columns(["doc_id", "source", "vec_id", "label"])
+
+
 def q_semi_join(sf_dir):
     """Distributed semi join (EXISTS): documents that HAVE a label%3==0
     embedding — left columns only, no duplication on multi-matches. Same
@@ -1539,6 +1566,7 @@ QUERIES = {
     "group_moments": q_group_moments,
     "topk_per_group": q_topk_per_group,
     "doc_embedding_join": q_doc_embedding_join,
+    "outer_join": q_outer_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "decontaminate": q_decontaminate,
@@ -3149,4 +3177,17 @@ SELECT source,
 FROM documents
 WHERE text IS NOT NULL AND source IS NOT NULL
 GROUP BY 1
+"""
+
+# outer_join: FULL OUTER with unmatched rows on both sides; the engine
+# re-splits Acero's coalesced key into l.key / r.key exactly as SQL keeps
+# them
+ORACLE_SQL["outer_join"] = r"""
+WITH d AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 3 != 0
+), e AS (
+  SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings WHERE vec_id % 2 = 0
+)
+SELECT d.doc_id, d.source, e.vec_id, e.label
+FROM d FULL JOIN e ON d.doc_id = e.vec_id
 """

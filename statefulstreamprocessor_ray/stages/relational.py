@@ -106,8 +106,9 @@ def _common_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
     )
 
 
-_RMATCH = "_ssp_rmatch"  # right-side match marker (left joins, distinct key names)
-_LSENT = "_ssp_lsent"  # left-side sentinel marker (left/anti joins only)
+_RMATCH = "_ssp_rmatch"  # right-side match marker (outer joins, distinct key names)
+_LSENT = "_ssp_lsent"  # left-side sentinel/match marker (left/anti/right/outer)
+_RSENT = "_ssp_rsent"  # right-side sentinel marker (right/outer joins only)
 
 
 def _null_key_sentinel(
@@ -231,9 +232,10 @@ def partitioned_join(
     import ray as _ray
 
     right_on = right_on or left_on
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
-            "partitioned_join supports how='inner'|'left'|'semi'|'anti'"
+            "partitioned_join supports "
+            "how='inner'|'left'|'right'|'outer'|'semi'|'anti'"
         )
 
     if n_shards is None:
@@ -275,7 +277,7 @@ def partitioned_join(
         raise ValueError(
             f"partitioned_join: rename overlapping non-key columns {sorted(overlap)}"
         )
-    reserved = {_RMATCH, _LSENT} & (set(left_cols) | set(right_cols))
+    reserved = {_RMATCH, _LSENT, _RSENT} & (set(left_cols) | set(right_cols))
     if reserved:
         raise ValueError(
             f"partitioned_join: column names {sorted(reserved)} are reserved"
@@ -303,10 +305,15 @@ def partitioned_join(
 
     # Acero drops the right key column (coalesced into the left one); when
     # the caller named the keys differently, pandas-merge parity requires it
-    # back. Matched rows carry the left key value; for left joins a 1-byte
-    # marker distinguishes "unmatched" (null right key) from "matched".
+    # back. Matched rows carry the left key value; a 1-byte right-side
+    # marker distinguishes "right matched" (rebuild the right key) from
+    # "right missing" (null it). For right/outer the coalesced key must also
+    # be MASKED on the left side (an unmatched-right row's coalesced key
+    # holds the right value, but SQL's l.key is NULL there) — the left
+    # marker provides that mask.
     need_rkey = left_on != right_on
-    if need_rkey and how == "left":
+    mark_rmatch = need_rkey and how in ("left", "right", "outer")
+    if mark_rmatch:
         right = right.map_batches(
             lambda b: b.append_column(
                 _RMATCH, pa.array(np.ones(b.num_rows, np.int8))
@@ -315,12 +322,14 @@ def partitioned_join(
             zero_copy_batch=True,
         )
 
-    # Empty-side guard (see _null_key_sentinel): right sentinels are never
-    # emitted by inner/left/semi/anti, so the right union is free. Left
-    # sentinels WOULD surface in left/anti output (SQL emits null-key left
-    # rows), so those two modes carry a 1-byte marker — 0 on real rows, 1 on
-    # the sentinel — filtered after the join (same cost class as _RMATCH).
-    mark_left = how in ("left", "anti")
+    # Empty-side guard (see _null_key_sentinel): sentinels surface wherever
+    # SQL emits null-key unmatched rows — the left sentinel in
+    # left/anti/outer output, the right sentinel in right/outer output — so
+    # those sides carry a 1-byte marker (0 on real rows, 1 on the sentinel)
+    # filtered after the join. "right"/"outer" also use the left marker as
+    # the left-side match mask for the key rebuild above.
+    mark_left = how in ("left", "anti", "right", "outer")
+    mark_right = how in ("right", "outer")
     if mark_left:
         left = left.map_batches(
             lambda b: b.append_column(
@@ -329,12 +338,22 @@ def partitioned_join(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+    if mark_right:
+        right = right.map_batches(
+            lambda b: b.append_column(
+                _RSENT, pa.array(np.zeros(b.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     l_sent = _null_key_sentinel(left_cols, l_types, left_on, key_type)
     if mark_left:
         l_sent = l_sent.append_column(_LSENT, pa.array([1], pa.int8()))
     r_sent = _null_key_sentinel(right_cols, r_types, right_on, key_type)
-    if need_rkey and how == "left":
+    if mark_rmatch:
         r_sent = r_sent.append_column(_RMATCH, pa.array([1], pa.int8()))
+    if mark_right:
+        r_sent = r_sent.append_column(_RSENT, pa.array([1], pa.int8()))
     _ensure_schema_broadcast_patch()
     left = left.union(ray.data.from_arrow(l_sent))
     right = right.union(ray.data.from_arrow(r_sent))
@@ -344,6 +363,8 @@ def partitioned_join(
         join_type={
             "inner": "inner",
             "left": "left_outer",
+            "right": "right_outer",
+            "outer": "full_outer",
             # semi/anti: filter the left side by right-key (non-)existence —
             # the decontaminate/dedup-apply shape when both sides are large
             # (vs the broadcast drop-set used when the filter side is small)
@@ -371,16 +392,47 @@ def partitioned_join(
     )
 
     def project(b: pa.Table) -> pa.Table:
-        if mark_left:  # drop the left-join-mode sentinel row
-            b = b.filter(pc.equal(b[_LSENT], 0))
+        if mark_left:
+            # drop the left sentinel; unmatched-right rows (right/outer)
+            # carry a NULL marker and must survive — fill_null keeps them
+            b = b.filter(pc.fill_null(pc.not_equal(b[_LSENT], 1), True))
+        if mark_right:
+            b = b.filter(pc.fill_null(pc.not_equal(b[_RSENT], 1), True))
         if need_rkey:
-            key = b[left_on]
-            if not key.type.equals(key_type):
-                key = pc.cast(key, key_type)
-            if how == "left":
-                matched = pc.is_valid(b[_RMATCH])
-                key = pc.if_else(matched, key, pa.scalar(None, key_type))
-            b = b.append_column(right_on, key)
+            if how == "right":
+                # Acero right_outer drops the LEFT key column entirely (the
+                # surviving key rides under the RIGHT name); SQL's l.key is
+                # the key where the left side matched, NULL otherwise
+                key = b[right_on]
+                if not key.type.equals(key_type):
+                    key = pc.cast(key, key_type)
+                lmatched = pc.is_valid(b[_LSENT])
+                b = b.append_column(
+                    left_on, pc.if_else(lmatched, key, pa.scalar(None, key_type))
+                )
+            else:
+                key = b[left_on]
+                if not key.type.equals(key_type):
+                    key = pc.cast(key, key_type)
+                if mark_rmatch:
+                    matched = pc.is_valid(b[_RMATCH])
+                    b = b.append_column(
+                        right_on,
+                        pc.if_else(matched, key, pa.scalar(None, key_type)),
+                    )
+                else:
+                    b = b.append_column(right_on, key)
+                if how == "outer":
+                    # full_outer coalesces the key into the LEFT name; an
+                    # unmatched-right row's coalesced key holds the RIGHT
+                    # value, but SQL's l.key is NULL there
+                    lmatched = pc.is_valid(b[_LSENT])
+                    i = b.schema.get_field_index(left_on)
+                    b = b.set_column(
+                        i,
+                        left_on,
+                        pc.if_else(lmatched, key, pa.scalar(None, key_type)),
+                    )
         return b.select(out_cols)
 
     return joined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -185,7 +185,7 @@ def test_partitioned_join_semi_anti():
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("how", ["semi", "anti", "inner", "left"])
+@pytest.mark.parametrize("how", ["semi", "anti", "inner", "left", "right", "outer"])
 def test_partitioned_join_empty_sides(how):
     """An entirely empty side must not kill the join: Ray's hash-shuffle join
     grants the aggregator schema broadcast only to the first submitted block
@@ -210,14 +210,70 @@ def test_partitioned_join_empty_sides(how):
             left_on="k", right_on="rk", how=how, n_shards=3,
         ).to_pandas()
 
-    # empty right: semi/inner -> nothing, anti -> all left, left -> all left
+    # empty right: semi/inner/right -> nothing (right: no right rows to
+    # emit), anti/left/outer -> all left
     er = run(full_l, empty_r)
-    assert len(er) == {"semi": 0, "inner": 0, "anti": 3, "left": 3}[how]
+    assert len(er) == {
+        "semi": 0, "inner": 0, "anti": 3, "left": 3, "right": 0, "outer": 3,
+    }[how]
     if how == "anti":
         assert sorted(er["lval"].tolist()) == [10, 20, 30]
-    if how == "left":
+    if how in ("left", "outer"):
         assert er["rk"].isna().all()
 
-    # empty left / both empty: always zero rows
-    assert len(run(empty_l, full_r)) == 0
+    # empty left: right/outer emit all right rows with null left columns
+    el = run(empty_l, full_r)
+    assert len(el) == {
+        "semi": 0, "inner": 0, "anti": 0, "left": 0, "right": 3, "outer": 3,
+    }[how]
+    if how in ("right", "outer"):
+        assert el["k"].isna().all() and el["lval"].isna().all()
+        assert sorted(el["rk"].tolist()) == [2, 3, 4]
+
+    # both empty: always zero rows
     assert len(run(empty_l, empty_r)) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["right", "outer"])
+def test_partitioned_join_right_outer_vs_duckdb(how):
+    """DuckDB differential for the r5 right/full-outer modes: null keys
+    match nothing but their rows still surface on their own side; the
+    coalesced key is re-split into l.k / r.rk with side-match masks."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, None, 5], pa.int64()),
+            "lval": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([2, 3, 4, None], pa.int64()),
+            "rval": pa.array([200, 300, 400, 500], pa.int64()),
+        }
+    )
+    got = relational.partitioned_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_on="k",
+        right_on="rk",
+        how=how,
+        n_shards=3,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    kind = {"right": "RIGHT", "outer": "FULL"}[how]
+    want = con.sql(
+        f"SELECT l.k, l.lval, r.rk, r.rval FROM l {kind} JOIN r ON l.k = r.rk"
+    ).fetchdf()
+    cols = ["k", "rk", "lval", "rval"]
+    g = got.sort_values(cols, na_position="last").reset_index(drop=True)
+    w = want.sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g.astype("float64"), w.astype("float64"), check_dtype=False
+    )
