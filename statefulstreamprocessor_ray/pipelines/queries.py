@@ -471,6 +471,38 @@ def q_doc_embedding_join(sf_dir):
     ).sort("doc_id")
 
 
+def q_multikey_join(sf_dir):
+    """Composite-key distributed join: per-(user_id, event_type) activity
+    totals attached back to every event — the enrich-rows-with-their-group
+    shape. Both key columns co-shuffle as ONE exchange key (a null in any
+    component matches nothing)."""
+    from statefulstreamprocessor_ray.functions.ops import sharded_group_sum
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+
+    def count_partial(df):
+        import pandas as pd_
+
+        out = df.groupby(["user_id", "event_type"], sort=False).size()
+        return pd_.DataFrame(
+            {
+                "user_id": out.index.get_level_values(0),
+                "event_type": out.index.get_level_values(1),
+                "c": out.to_numpy(),
+            }
+        )
+
+    totals = sharded_group_sum(
+        ev.map_batches(count_partial, batch_format="pandas"),
+        keys=["user_id", "event_type"],
+        sums={"c": "n_tot"},
+    )
+    out = relational.partitioned_join(
+        ev, totals, left_on=["user_id", "event_type"], how="inner"
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "n_tot"])
+
+
 def q_outer_join(sf_dir):
     """Distributed FULL OUTER join with genuinely unmatched rows on BOTH
     sides (docs doc_id%3!=0 vs embeddings vec_id%2==0): the coalesced Acero
@@ -1566,6 +1598,7 @@ QUERIES = {
     "group_moments": q_group_moments,
     "topk_per_group": q_topk_per_group,
     "doc_embedding_join": q_doc_embedding_join,
+    "multikey_join": q_multikey_join,
     "outer_join": q_outer_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -3190,4 +3223,13 @@ WITH d AS (
 )
 SELECT d.doc_id, d.source, e.vec_id, e.label
 FROM d FULL JOIN e ON d.doc_id = e.vec_id
+"""
+
+# multikey_join: composite-key enrich — per-(user, type) totals attached to
+# every event; the window form is the SQL-idiomatic equivalent of the
+# aggregate+join plan
+ORACLE_SQL["multikey_join"] = r"""
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_tot
+FROM events
 """

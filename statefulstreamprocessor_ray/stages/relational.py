@@ -112,16 +112,18 @@ _RSENT = "_ssp_rsent"  # right-side sentinel marker (right/outer joins only)
 
 
 def _null_key_sentinel(
-    names: list[str], types: dict[str, pa.DataType], key: str, key_type: pa.DataType
+    names: list[str],
+    types: dict[str, pa.DataType],
+    key_types: dict[str, pa.DataType],
 ) -> pa.Table:
-    """One all-null row with a side's exact block schema (key already cast).
+    """One all-null row with a side's exact block schema (keys already cast).
     Ray's hash-shuffle join drops zero-row blocks, so a side with NO rows at
     all reaches the Acero aggregator schema-less and the key FieldRef fails
     ('No match ... for key field reference'). Unioning one sentinel row onto
     each side keeps every aggregator schema-aware; a null join key matches
     NOTHING under Acero's SQL semantics, so the sentinel can never join."""
     return pa.table(
-        {n: pa.nulls(1, key_type if n == key else types[n]) for n in names}
+        {n: pa.nulls(1, key_types.get(n, types[n])) for n in names}
     )
 
 
@@ -203,8 +205,8 @@ def _ensure_schema_broadcast_patch() -> None:
 def partitioned_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    left_on: str,
-    right_on: str | None = None,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
     how: str = "inner",
     n_shards: int | None = None,
 ) -> ray.data.Dataset:
@@ -231,7 +233,25 @@ def partitioned_join(
     keys (documented, tested divergence from pandas)."""
     import ray as _ray
 
-    right_on = right_on or left_on
+    l_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+    if right_on is None:
+        r_keys = list(l_keys)
+    else:
+        r_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(l_keys) != len(r_keys) or not l_keys:
+        raise ValueError(
+            f"partitioned_join: key lists must be equal non-empty lengths, "
+            f"got {l_keys} vs {r_keys}"
+        )
+    multi = len(l_keys) > 1
+    if multi and l_keys != r_keys:
+        # the coalesced-key re-split machinery (markers + masks) is built
+        # for ONE key pair; composite keys must share names on both sides
+        raise ValueError(
+            "partitioned_join: composite keys require identical names on "
+            f"both sides, got {l_keys} vs {r_keys} — rename first"
+        )
+    left_on, right_on = l_keys[0], r_keys[0]
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
             "partitioned_join supports "
@@ -271,7 +291,7 @@ def partitioned_join(
     # subtracting both key names unconditionally would let e.g. right-side
     # column 'k' slip past when left_on='k', right_on='rk' (silent _x/_y
     # suffixes downstream)
-    allowed = {left_on} if left_on == right_on else set()
+    allowed = {lk for lk, rk in zip(l_keys, r_keys) if lk == rk}
     overlap = (set(left_cols) & set(right_cols)) - allowed
     if overlap:
         raise ValueError(
@@ -285,22 +305,38 @@ def partitioned_join(
 
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
-    key_type = _common_key_type(l_types[left_on], r_types[right_on])
+    key_types = {
+        lk: _common_key_type(l_types[lk], r_types[rk])
+        for lk, rk in zip(l_keys, r_keys)
+    }
+    key_type = key_types[left_on]
 
-    def cast_key(col: str):
+    def cast_keys(cols: list[str], kts: list[pa.DataType]):
         def fn(b: pa.Table) -> pa.Table:
-            i = b.schema.get_field_index(col)
-            return b.set_column(i, col, pc.cast(b[i], key_type))
+            for col, kt in zip(cols, kts):
+                i = b.schema.get_field_index(col)
+                b = b.set_column(i, col, pc.cast(b[i], kt))
+            return b
 
         return fn
 
-    if not l_types[left_on].equals(key_type):
+    l_need = [lk for lk in l_keys if not l_types[lk].equals(key_types[lk])]
+    if l_need:
         left = left.map_batches(
-            cast_key(left_on), batch_format="pyarrow", zero_copy_batch=True
+            cast_keys(l_need, [key_types[c] for c in l_need]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-    if not r_types[right_on].equals(key_type):
+    r_need = [
+        (rk, key_types[lk])
+        for lk, rk in zip(l_keys, r_keys)
+        if not r_types[rk].equals(key_types[lk])
+    ]
+    if r_need:
         right = right.map_batches(
-            cast_key(right_on), batch_format="pyarrow", zero_copy_batch=True
+            cast_keys([c for c, _ in r_need], [t for _, t in r_need]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
     # Acero drops the right key column (coalesced into the left one); when
@@ -346,10 +382,13 @@ def partitioned_join(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    l_sent = _null_key_sentinel(left_cols, l_types, left_on, key_type)
+    l_sent = _null_key_sentinel(left_cols, l_types, {lk: key_types[lk] for lk in l_keys})
     if mark_left:
         l_sent = l_sent.append_column(_LSENT, pa.array([1], pa.int8()))
-    r_sent = _null_key_sentinel(right_cols, r_types, right_on, key_type)
+    r_sent = _null_key_sentinel(
+        right_cols, r_types,
+        {rk: key_types[lk] for lk, rk in zip(l_keys, r_keys)},
+    )
     if mark_rmatch:
         r_sent = r_sent.append_column(_RMATCH, pa.array([1], pa.int8()))
     if mark_right:
@@ -372,8 +411,8 @@ def partitioned_join(
             "anti": "left_anti",
         }[how],
         num_partitions=n_shards,
-        on=(left_on,),
-        right_on=(right_on,),
+        on=tuple(l_keys),
+        right_on=tuple(r_keys),
     )
     if how in ("semi", "anti"):  # left columns only, no rebuild needed
         def trim(b: pa.Table) -> pa.Table:
@@ -388,7 +427,7 @@ def partitioned_join(
     # pandas-merge column order: left cols, then right cols; the right key
     # column appears only when the two sides name their keys differently
     out_cols = left_cols + (
-        right_cols if need_rkey else [c for c in right_cols if c != right_on]
+        right_cols if need_rkey else [c for c in right_cols if c not in set(r_keys)]
     )
 
     def project(b: pa.Table) -> pa.Table:

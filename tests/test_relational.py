@@ -277,3 +277,75 @@ def test_partitioned_join_right_outer_vs_duckdb(how):
     pd.testing.assert_frame_equal(
         g.astype("float64"), w.astype("float64"), check_dtype=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer", "semi", "anti"])
+def test_partitioned_join_composite_keys_vs_duckdb(how):
+    """Composite (multi-column, same-name) keys across every mode: Acero
+    coalesces same-name keys (USING semantics); a null in ANY key component
+    matches nothing."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    left = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, None], pa.int64()),
+            "b": pa.array(["x", "y", "x", None, "x"], pa.string()),
+            "lval": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None], pa.int64()),
+            "b": pa.array(["x", "x", "z", "x"], pa.string()),
+            "rval": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    got = relational.partitioned_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_on=["a", "b"],
+        how=how,
+        n_shards=3,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    if how in ("semi", "anti"):
+        neg = "NOT" if how == "anti" else ""
+        want = con.sql(
+            f"SELECT a, b, lval FROM l WHERE {neg} EXISTS "
+            "(SELECT 1 FROM r WHERE r.a = l.a AND r.b = l.b)"
+        ).fetchdf()
+        cols = ["a", "b", "lval"]
+    else:
+        kind = {
+            "inner": "JOIN", "left": "LEFT JOIN",
+            "right": "RIGHT JOIN", "outer": "FULL JOIN",
+        }[how]
+        want = con.sql(
+            "SELECT coalesce(l.a, r.a) AS a, coalesce(l.b, r.b) AS b, "
+            f"l.lval, r.rval FROM l {kind} r ON l.a = r.a AND l.b = r.b"
+        ).fetchdf()
+        cols = ["a", "b", "lval", "rval"]
+    g = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    w = want[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g.astype(object), w.astype(object), check_dtype=False
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_join_composite_distinct_names_rejected():
+    import pyarrow as pa
+
+    t = pa.table({"a": pa.array([1], pa.int64()), "b": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="identical names"):
+        relational.partitioned_join(
+            ray.data.from_arrow(t),
+            ray.data.from_arrow(t.rename_columns(["a", "c"])),
+            left_on=["a", "b"],
+            right_on=["a", "c"],
+        )
