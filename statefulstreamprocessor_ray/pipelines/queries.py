@@ -722,6 +722,15 @@ def q_streaming_corpus(sf_dir):
     )
 
 
+def q_weighted_repeat(sf_dir):
+    """Training-mix upsampling: repeat each doc (int(source[3:]) % 3 + 1)
+    times with a 1-based rep index — pure per-batch np.repeat explode, no
+    shuffle, partitioning inherited."""
+    from statefulstreamprocessor_ray.stages.curation import weighted_repeat
+
+    return weighted_repeat(_documents(sf_dir, columns=["doc_id", "source"]))
+
+
 def q_scrub_text(sf_dir):
     """PII/URL scrubbing pass (emails -> <EMAIL>, URLs -> <URL>) with
     per-pattern hit counts; regexes compiled once per actor."""
@@ -1578,6 +1587,7 @@ QUERIES = {
     "render_conversations": q_render_conversations,
     "streaming_dedup": q_streaming_dedup,
     "streaming_minhash": q_streaming_minhash,
+    "weighted_repeat": q_weighted_repeat,
     "scrub_text": q_scrub_text,
     "repetition_stats": q_repetition_stats,
     "percentile_filter": q_percentile_filter,
@@ -3232,4 +3242,16 @@ ORACLE_SQL["multikey_join"] = r"""
 SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
        CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_tot
 FROM events
+"""
+
+# weighted_repeat: the "N epochs of source X" training-mix knob; lateral
+# range unnest reproduces the np.repeat explode + 1-based rep index
+ORACLE_SQL["weighted_repeat"] = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS n_rep
+  FROM documents
+)
+SELECT doc_id, source, CAST(t.i AS BIGINT) AS rep
+FROM w, unnest(range(1, n_rep + 1)) AS t(i)
 """

@@ -757,3 +757,50 @@ def group_checksum(
         merge,
         batch_format="pandas",
     )
+
+
+def weighted_repeat(
+    ds,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_fn=None,
+):
+    """Training-mix upsampling: repeat every row ``weight(group)`` times with
+    a 1-based ``rep`` index (the "N epochs of source X per training epoch"
+    knob). Pure per-batch ``np.repeat`` explode — no shuffle, no state; the
+    output inherits the input's partitioning, so a downstream pack/shuffle
+    sees repeats already distributed. ``weight_fn(sources: pd.Series) ->
+    int64 ndarray`` defaults to the deterministic test formula
+    ``int(source[3:]) % 3 + 1``."""
+    import numpy as np
+    import pandas as pd
+
+    if weight_fn is None:
+
+        def weight_fn(src: "pd.Series"):
+            return (
+                src.str.slice(3).astype(np.int64).to_numpy() % 3 + 1
+            ).astype(np.int64)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in df.columns:  # zero-row schema-less block
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    group_col: pd.Series([], dtype="object"),
+                    "rep": pd.Series([], dtype="int64"),
+                }
+            )
+        n_rep = weight_fn(df[group_col])
+        idx = np.repeat(np.arange(len(df)), n_rep)
+        out = df.iloc[idx][[id_col, group_col]].reset_index(drop=True)
+        # 1-based repeat index within each exploded row
+        ends = np.cumsum(n_rep)
+        out["rep"] = (np.arange(len(out)) - np.repeat(ends - n_rep, n_rep) + 1).astype(
+            np.int64
+        )
+        return out
+
+    return ds.select_columns([id_col, group_col]).map_batches(
+        explode, batch_format="pandas"
+    )

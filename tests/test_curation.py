@@ -412,3 +412,23 @@ def test_group_sample_exact_k_counts_and_modes():
         true_sizes = docs.groupby("source").size()
         for s in true_sizes.index:
             assert sizes.get(s, 0) == min(7, true_sizes[s])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_repeat_explode_and_rep_index():
+    import pandas as pd
+    import ray.data
+
+    from statefulstreamprocessor_ray.stages.curation import weighted_repeat
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "source": ["src0", "src1", "src2"]})
+    # weights: src0 -> 0%3+1=1, src1 -> 2, src2 -> 3
+    out = (
+        weighted_repeat(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["doc_id", "rep"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 1 + 2 + 3
+    assert out[out["doc_id"] == 2]["rep"].tolist() == [1, 2]
+    assert out[out["doc_id"] == 3]["rep"].tolist() == [1, 2, 3]
