@@ -80,10 +80,13 @@ def window_functions(
     roll_name = f"roll{roll_rows}_micro"
 
     def kernel(t: pa.Table) -> pa.Table:
+        key_field = t.schema.field(key_col).type
+        is_int_key = pa.types.is_integer(key_field)
+        empty_key_type = pa.int64() if is_int_key else pa.large_string()
         empty = pa.table(
             {
                 id_col: pa.array([], pa.int64()),
-                key_col: pa.array([], pa.int64()),
+                key_col: pa.array([], empty_key_type),
                 "rn": pa.array([], pa.int64()),
                 "prev_value": pa.array([], pa.float64()),
                 "delta_us": pa.array([], pa.float64()),
@@ -93,7 +96,16 @@ def window_functions(
         )
         if t.num_rows == 0:
             return empty
-        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if is_int_key:
+            key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            key_out = None  # emit the sorted int codes directly
+        else:
+            # string (or other) keys: factorize to int codes for the sort /
+            # group kernel, emit the original values
+            raw = t[key_col].to_pandas().to_numpy(object)
+            uniq, key = np.unique(raw, return_inverse=True)
+            key = key.astype(np.int64)
+            key_out = raw
         ts = (
             pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
             .to_numpy(zero_copy_only=False)
@@ -107,6 +119,8 @@ def window_functions(
         )
         order = np.lexsort((eid, ts, key))
         key, ts, eid, val = key[order], ts[order], eid[order], val[order]
+        if key_out is not None:
+            key_out = key_out[order]
         n = len(key)
         st, counts = _group_starts(key)
         gstart = np.repeat(st, counts)
@@ -133,10 +147,15 @@ def window_functions(
         lookback = np.minimum(rn, roll_rows)
         roll = (ext[idx + 1] - ext[idx + 1 - lookback]).astype(np.int64)
 
+        key_arr = (
+            pa.array(key, pa.int64())
+            if key_out is None
+            else pa.array(key_out, empty_key_type)
+        )
         return pa.table(
             {
                 id_col: pa.array(eid, pa.int64()),
-                key_col: pa.array(key, pa.int64()),
+                key_col: key_arr,
                 "rn": pa.array(rn, pa.int64()),
                 "prev_value": pa.array(prev_value, pa.float64()),
                 "delta_us": pa.array(delta, pa.float64()),

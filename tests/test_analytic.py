@@ -341,3 +341,31 @@ def test_group_checksum_order_invariant_and_content_sensitive():
         assert c1.loc["a", "checksum"] != c3.loc["a", "checksum"], mode
         assert c1.loc["b", "checksum"] == c3.loc["b", "checksum"], mode
         assert c1.loc["a", "n_docs"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_functions_string_keys():
+    """String partition keys factorize to int codes for the kernel and ride
+    back out unchanged."""
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([100, 200, 150, 300], unit="s"),
+            "user_id": ["b", "b", "a", "a"],
+            "value": [1.0, 2.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        window_functions(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["user_id", "rn"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == ["a", "a", "b", "b"]
+    a = out[out["user_id"] == "a"]
+    assert a["event_id"].tolist() == [3, 4]  # ts order within key
+    assert a["cum_micro"].tolist() == [5_000_000, 12_000_000]
+    b = out[out["user_id"] == "b"]
+    assert np.isnan(b["prev_value"].iloc[0]) and b["prev_value"].iloc[1] == 1.0
