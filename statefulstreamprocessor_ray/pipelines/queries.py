@@ -869,6 +869,21 @@ def q_rollup_aggregate(sf_dir):
     )
 
 
+def q_cube_aggregate(sf_dir):
+    """GROUP BY CUBE (returnflag, linestatus): rollup_aggregate's lattice
+    completed with the (linestatus) subtotal level — same one-exchange,
+    derive-coarse-levels-from-finest plan."""
+    from statefulstreamprocessor_ray.stages.analytic import rollup_aggregate
+
+    return rollup_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        ),
+        cube=True,
+    )
+
+
 def q_group_comoments(sf_dir):
     """Pearson corr of (quantity, extendedprice) per returnflag via exact
     bivariate integer sufficient statistics + the one shared IEEE
@@ -1598,6 +1613,7 @@ QUERIES = {
     "group_checksum": q_group_checksum,
     "histogram": q_histogram,
     "rollup_aggregate": q_rollup_aggregate,
+    "cube_aggregate": q_cube_aggregate,
     "group_comoments": q_group_comoments,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3254,4 +3270,15 @@ WITH w AS (
 )
 SELECT doc_id, source, CAST(t.i AS BIGINT) AS rep
 FROM w, unnest(range(1, n_rep + 1)) AS t(i)
+"""
+
+# cube_aggregate: the full two-key grouping-set lattice
+ORACLE_SQL["cube_aggregate"] = r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_l_returnflag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """

@@ -399,16 +399,18 @@ def rollup_aggregate(
     ds: ray.data.Dataset,
     keys: tuple[str, str] = ("l_returnflag", "l_linestatus"),
     value_col: str = "l_quantity",
+    cube: bool = False,
 ) -> ray.data.Dataset:
     """SQL ``GROUP BY ROLLUP (k1, k2)``: the finest (k1, k2) level plus the
     (k1) subtotals plus the grand total, each row carrying ``grouping()``
-    markers (1 = rolled up). ONE exchange moves only the finest-level
-    integer partials; the coarser levels are derived from the aggregated
-    finest table in a single task — exact because integer sums re-aggregate
-    associatively. That single task holds |distinct k1 x k2| rows, so this
-    shape is for low-cardinality rollup keys (the SQL use case); a
-    high-cardinality rollup would derive each level with its own keyed
-    exchange instead."""
+    markers (1 = rolled up). ``cube=True`` adds the (k2) subtotal level —
+    the full ``GROUP BY CUBE (k1, k2)`` lattice. ONE exchange moves only
+    the finest-level integer partials; the coarser levels are derived from
+    the aggregated finest table in a single task — exact because integer
+    sums re-aggregate associatively. That single task holds
+    |distinct k1 x k2| rows, so this shape is for low-cardinality grouping
+    keys (the SQL use case); a high-cardinality rollup would derive each
+    level with its own keyed exchange instead."""
     k1, k2 = keys
 
     def partial(t: pa.Table) -> pa.Table:
@@ -452,7 +454,15 @@ def rollup_aggregate(
                 "g2": [1],
             }
         )
-        out = pd.concat([fine, sub, tot], ignore_index=True)
+        parts = [fine, sub, tot]
+        if cube:  # the (k2) subtotal level completes the CUBE lattice
+            sub2 = df.groupby(k2, sort=False, as_index=False, dropna=False)[
+                ["n", "s"]
+            ].sum()
+            sub2[k1] = None
+            sub2["g1"], sub2["g2"] = 1, 0
+            parts.append(sub2)
+        out = pd.concat(parts, ignore_index=True)
         out = out.rename(
             columns={"g1": f"g_{k1}", "g2": f"g_{k2}", "s": "sum_micro"}
         )
