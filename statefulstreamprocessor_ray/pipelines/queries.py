@@ -471,6 +471,38 @@ def q_doc_embedding_join(sf_dir):
     ).sort("doc_id")
 
 
+def _doc_pair_halves(sf_dir):
+    docs = _documents(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+
+    def half(parity):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pa.array(
+                    t["n_chars"].to_numpy(zero_copy_only=False) % 2 == p
+                )
+            ).select(["lang", "source"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return half(0), half(1)
+
+
+def q_intersect_pairs(sf_dir):
+    """SQL INTERSECT (distinct) over a projection: (lang, source) pairs
+    present in BOTH document halves — DISTINCT combiner exchange + a
+    composite-key semi join (right dups cost nothing)."""
+    a, b = _doc_pair_halves(sf_dir)
+    return relational.set_op(a, b, ["lang", "source"], "intersect")
+
+
+def q_except_pairs(sf_dir):
+    """SQL EXCEPT (distinct): pairs in the even half and NOT the odd half —
+    the same plan with an anti join."""
+    a, b = _doc_pair_halves(sf_dir)
+    return relational.set_op(a, b, ["lang", "source"], "except")
+
+
 def q_multikey_join(sf_dir):
     """Composite-key distributed join: per-(user_id, event_type) activity
     totals attached back to every event — the enrich-rows-with-their-group
@@ -1624,6 +1656,8 @@ QUERIES = {
     "group_moments": q_group_moments,
     "topk_per_group": q_topk_per_group,
     "doc_embedding_join": q_doc_embedding_join,
+    "intersect_pairs": q_intersect_pairs,
+    "except_pairs": q_except_pairs,
     "multikey_join": q_multikey_join,
     "outer_join": q_outer_join,
     "semi_join": q_semi_join,
@@ -3281,4 +3315,18 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# intersect/except: SQL set ops (DISTINCT semantics) over the (lang, source)
+# projection of two deterministic document halves
+ORACLE_SQL["intersect_pairs"] = r"""
+SELECT lang, source FROM documents WHERE n_chars % 2 = 0
+INTERSECT
+SELECT lang, source FROM documents WHERE n_chars % 2 = 1
+"""
+
+ORACLE_SQL["except_pairs"] = r"""
+SELECT lang, source FROM documents WHERE n_chars % 2 = 0
+EXCEPT
+SELECT lang, source FROM documents WHERE n_chars % 2 = 1
 """

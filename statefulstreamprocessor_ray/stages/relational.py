@@ -475,3 +475,39 @@ def partitioned_join(
         return b.select(out_cols)
 
     return joined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """DISTINCT over a column projection: per-batch drop_duplicates partials
+    (the map-side combiner — the exchange carries at most one row per
+    distinct tuple per batch), one composite-key exchange, final dedupe per
+    partition."""
+    from statefulstreamprocessor_ray.functions.ops import shard_map
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_shard"], errors="ignore").drop_duplicates(cols)
+
+    partials = ds.select_columns(cols).map_batches(dedupe, batch_format="pandas")
+    return shard_map(partials, cols, dedupe, batch_format="pandas")
+
+
+def set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+    op: str,
+) -> ray.data.Dataset:
+    """SQL set operations over a column projection: ``INTERSECT`` /
+    ``EXCEPT`` (both DISTINCT, per the SQL default). Composition: DISTINCT
+    the left side (one combiner-fed exchange), then a composite-key
+    semi/anti join against the right projection — right-side duplicates
+    cost nothing (semi/anti never build right columns)."""
+    if op not in ("intersect", "except"):
+        raise ValueError("op must be 'intersect' or 'except'")
+    d = distinct_rows(left, cols)
+    return partitioned_join(
+        d,
+        right.select_columns(cols),
+        left_on=cols,
+        how="semi" if op == "intersect" else "anti",
+    )
