@@ -259,15 +259,26 @@ def partitioned_join(
         )
 
     if n_shards is None:
-        try:
-            # the hash exchange pays ~100 ms fixed cost per partition
-            # (measured: 64 shards 9.8 s vs 8 shards 2.7 s on the same sf0.1
-            # join), so partitions scale with cluster size — enough to give
-            # aggregators parallel work and bound per-partition join memory,
-            # no more; callers joining known-huge sides pass n_shards
-            n_shards = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 4)
-        except Exception:
-            n_shards = 16
+        # the hash exchange pays ~80-100 ms fixed cost per partition
+        # (measured: 64 shards 9.8 s vs 8 shards 2.7 s on the same sf0.1
+        # join), so size partitions by the MEASURED payload (the
+        # sized_hash_partitions policy — callers hit the shuffle barrier
+        # anyway, so materializing the sides costs no extra pass): small
+        # joins run 4 partitions (sf0.1 doc⋈emb min-of-2: n=2 1.76 s,
+        # n=4 1.38 s, n=8 2.11 s, n=16 3.17 s — fixed cost dominates),
+        # volume joins are need-driven at ~32 MB/partition
+        from statefulstreamprocessor_ray.stages.exchange import (
+            TARGET_PARTITION_BYTES,
+            sized_hash_partitions,
+        )
+
+        left = left.materialize()
+        right = right.materialize()
+        total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        if total <= 2 * TARGET_PARTITION_BYTES:
+            n_shards = 4
+        else:
+            n_shards = sized_hash_partitions(total)
 
     def _arrow_schema(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, "pa.Schema"]:
         # a side fed by a pandas-format stage reports a PandasBlockSchema
