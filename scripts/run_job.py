@@ -200,7 +200,23 @@ def main() -> None:
     wf.add_argument("--roll-rows", type=int, default=4)
     wf.add_argument("--max-epochs", type=int, default=None)
 
-    for p in (b, s, w, cp, dd, cb, mh, dc, tk, qt, wf):
+    cdc = sub.add_parser(
+        "compact",
+        help="streaming CDC/upsert compaction: per-epoch latest-row-per-"
+        "touched-key changelog (pipelines/streaming_analytic)",
+    )
+    cdc.add_argument("--input", required=True, help="events parquet dir")
+    cdc.add_argument("--work", required=True)
+    cdc.add_argument("--out", required=True)
+    cdc.add_argument("--shards", type=int, default=4)
+    cdc.add_argument("--files-per-epoch", type=int, default=1)
+    cdc.add_argument("--key-col", default="user_id")
+    cdc.add_argument("--ts-col", default="ts")
+    cdc.add_argument("--id-col", default="event_id")
+    cdc.add_argument("--value-col", default="value")
+    cdc.add_argument("--max-epochs", type=int, default=None)
+
+    for p in (b, s, w, cp, dd, cb, mh, dc, tk, qt, wf, cdc):
         p.add_argument("--num-cpus", type=int, default=8)
 
     args = ap.parse_args()
@@ -381,6 +397,25 @@ def main() -> None:
         )
         stats = StreamingWindowFnJob(wcfg).run(max_epochs=args.max_epochs)
         print(json.dumps({"mode": "windowfn", **stats}))
+    elif args.mode == "compact":
+        from statefulstreamprocessor_ray.pipelines.streaming_analytic import (
+            StreamingCompactionJob,
+            StreamingWindowFnConfig,
+        )
+
+        ccfg2 = StreamingWindowFnConfig(
+            input_path=args.input,
+            work_dir=args.work,
+            out_dir=args.out,
+            n_shards=args.shards,
+            files_per_epoch=args.files_per_epoch,
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            id_col=args.id_col,
+            value_col=args.value_col,
+        )
+        stats = StreamingCompactionJob(ccfg2).run(max_epochs=args.max_epochs)
+        print(json.dumps({"mode": "compact", **stats}))
     elif args.mode == "corpus":
         import os
 

@@ -1497,6 +1497,44 @@ def q_streaming_window_functions(sf_dir):
     )
 
 
+def q_streaming_compaction(sf_dir):
+    """Streaming CDC/upsert compaction: after each arrival epoch, emit the
+    CURRENT latest full row per key for every key touched in that epoch —
+    the continuously-maintained changelog form of latest_per_key. Fixed-size
+    per-key state, exactly-once manifests."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from statefulstreamprocessor_ray.pipelines.streaming_analytic import (
+        StreamingCompactionJob,
+        StreamingWindowFnConfig,
+    )
+    from statefulstreamprocessor_ray.sinks.exactly_once import ExactlyOnceParquetSink
+
+    base = _workspace("scompact", "events", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    inp = f"{base}/input"
+    os.makedirs(inp)
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    tbl = tbl.sort_by("event_id")
+    n = tbl.num_rows
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        pq.write_table(tbl.slice(lo, hi - lo), f"{inp}/part-{i:03d}.parquet")
+    cfg = StreamingWindowFnConfig(
+        input_path=inp, work_dir=f"{base}/work", out_dir=f"{base}/out", n_shards=4
+    )
+    StreamingCompactionJob(cfg).run()
+    return ExactlyOnceParquetSink(f"{base}/out").read_committed().select_columns(
+        ["epoch", "event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+
 def q_streaming_quantiles(sf_dir):
     """Streaming quantiles: the events table replayed as 3 event_id-ordered
     arrival epochs through StreamingQuantileJob — per-group weighted-sample
@@ -1641,6 +1679,7 @@ QUERIES = {
     "group_sample_k": q_group_sample_k,
     "group_centroids": q_group_centroids,
     "streaming_window_functions": q_streaming_window_functions,
+    "streaming_compaction": q_streaming_compaction,
     "latest_per_key": q_latest_per_key,
     "group_checksum": q_group_checksum,
     "histogram": q_histogram,
@@ -3329,4 +3368,25 @@ ORACLE_SQL["except_pairs"] = r"""
 SELECT lang, source FROM documents WHERE n_chars % 2 = 0
 EXCEPT
 SELECT lang, source FROM documents WHERE n_chars % 2 = 1
+"""
+
+# streaming_compaction: per-epoch latest-row-per-touched-key changelog; the
+# oracle replays the same epoch slicing and takes each touched key's prefix
+# argmax by (ts DESC, id DESC)
+ORACLE_SQL["streaming_compaction"] = r"""
+WITH r AS (
+  SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS rn0, count(*) OVER () AS n
+  FROM events
+), e AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CASE WHEN rn0 < n//3 THEN 0 WHEN rn0 < (2*n)//3 THEN 1 ELSE 2 END AS epoch
+  FROM r
+), touched AS (
+  SELECT DISTINCT epoch, user_id FROM e
+)
+SELECT CAST(tou.epoch AS BIGINT) AS epoch, t.event_id,
+       CAST(t.user_id AS BIGINT) AS user_id, t.ts, t.event_type, t.value
+FROM touched tou
+JOIN e t ON t.user_id = tou.user_id AND t.epoch <= tou.epoch
+QUALIFY row_number() OVER (PARTITION BY tou.epoch, tou.user_id ORDER BY t.ts DESC, t.event_id DESC) = 1
 """

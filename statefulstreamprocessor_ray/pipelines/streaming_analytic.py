@@ -434,3 +434,296 @@ class StreamingWindowFnJob:
         with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
             json.dump(stats, f)
         return stats
+
+
+@ray.remote
+class CompactionShardActor:
+    """One shard's per-key latest-row state across epochs (CDC compaction):
+    uid -> (ts_us, tie, event_type, value) — fixed width per key."""
+
+    def __init__(self, shard_id: int, cfg_dict: dict, ckpt_dir: str):
+        self.shard_id = shard_id
+        self.key_col = cfg_dict["key_col"]
+        self.id_col = cfg_dict["id_col"]
+        self.state: dict[int, tuple] = {}
+        self.ckpt = CheckpointStore(ckpt_dir)
+
+    def restore(
+        self, last_committed_epoch: int, committed_epochs: list[int] | None = None
+    ) -> int:
+        self.state = {}
+        if last_committed_epoch < 0:
+            self.ckpt.prune_after(self.shard_id, -(2**62))
+            return -1
+        found = [
+            e for e in self.ckpt.epochs(self.shard_id) if e <= last_committed_epoch
+        ]
+        self.ckpt.prune_after(self.shard_id, last_committed_epoch)
+        if not found:
+            return -1
+        if committed_epochs is not None and sorted(found) != sorted(committed_epochs):
+            return -1
+        for e in sorted(found):
+            snap = self.ckpt.load(self.shard_id, e)
+            if str(snap.get("scheme", "")) != KEY_HASH_SCHEME:
+                return -1
+            for i, u in enumerate(np.asarray(snap["uids"], np.int64)):
+                self.state[int(u)] = (
+                    int(snap["ts"][i]),
+                    int(snap["tie"][i]),
+                    str(snap["etype"][i]),
+                    float(snap["value"][i]),
+                )
+        return max(found)
+
+    def process_epoch(self, epoch: int, epoch_dir: str | None) -> pa.Table:
+        key_col, id_col = self.key_col, self.id_col
+        touched: list[int] = []
+        if epoch_dir is not None and os.path.isdir(epoch_dir):
+            t = pq.read_table(epoch_dir)
+            if t.num_rows:
+                key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+                eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                etype = t["event_type"].to_pandas().to_numpy(object)
+                val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+                # per-key epoch argmax by (ts DESC, tie DESC): lexsort then
+                # take each key run's LAST row
+                order = np.lexsort((eid, ts, key))
+                key, ts, eid = key[order], ts[order], eid[order]
+                etype, val = etype[order], val[order]
+                last = np.r_[key[1:] != key[:-1], True]
+                for i in np.flatnonzero(last):
+                    uid = int(key[i])
+                    cand = (int(ts[i]), int(eid[i]), str(etype[i]), float(val[i]))
+                    cur = self.state.get(uid)
+                    if cur is None or cand[:2] > cur[:2]:
+                        self.state[uid] = cand
+                    touched.append(uid)
+        self.ckpt.save(
+            self.shard_id,
+            epoch,
+            {
+                "uids": np.array(touched, np.int64),
+                "ts": np.array([self.state[u][0] for u in touched], np.int64),
+                "tie": np.array([self.state[u][1] for u in touched], np.int64),
+                "etype": np.array([self.state[u][2] for u in touched], object),
+                "value": np.array([self.state[u][3] for u in touched], np.float64),
+                "scheme": KEY_HASH_SCHEME,
+            },
+        )
+        uids = sorted(set(touched))
+        return pa.table(
+            {
+                "epoch": pa.array([epoch] * len(uids), pa.int64()),
+                id_col: pa.array(
+                    [self.state[u][1] for u in uids], pa.int64()
+                ),
+                key_col: pa.array(uids, pa.int64()),
+                "ts": pa.array(
+                    np.array([self.state[u][0] for u in uids], np.int64),
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(
+                    [self.state[u][2] for u in uids], pa.string()
+                ),
+                "value": pa.array(
+                    [self.state[u][3] for u in uids], pa.float64()
+                ),
+            }
+        )
+
+
+class StreamingCompactionJob:
+    """CDC / upsert compaction over arrival epochs: after each epoch, emit
+    the CURRENT latest full row (by ``(ts DESC, id DESC)``) for every key
+    touched in that epoch — the continuously-maintained "current state of
+    every entity" changelog, the streaming pendant of
+    ``stages/analytic.latest_per_key``. Same protocol as
+    StreamingWindowFnJob: hive phase-0 partitioning, fixed-width per-key
+    state, delta checkpoints, exactly-once manifests, tail appends,
+    scheme-tagged resume abort."""
+
+    def __init__(self, cfg: StreamingWindowFnConfig):
+        self.cfg = cfg
+        self.sink = ExactlyOnceParquetSink(cfg.out_dir)
+        self.ckpt_dir = os.path.join(cfg.work_dir, "checkpoints")
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        cfg = self.cfg
+        committed = self.sink.committed_epochs()
+        last_committed = committed[-1] if committed else -1
+
+        cfg_dict = {"key_col": cfg.key_col, "id_col": cfg.id_col}
+        shards = [
+            CompactionShardActor.remote(s, cfg_dict, self.ckpt_dir)
+            for s in range(cfg.n_shards)
+        ]
+        restore_refs = [s.restore.remote(last_committed, committed) for s in shards]
+
+        part_dir, n_epochs = partition_compaction_input(cfg)
+        epochs = list(range(n_epochs))
+        if committed != epochs[: len(committed)]:
+            raise RuntimeError(
+                "manifest set must be a prefix of the epoch sequence: "
+                f"committed={committed} epochs={epochs}"
+            )
+        restored = ray.get(restore_refs)
+        if last_committed >= 0 and any(r != last_committed for r in restored):
+            raise RuntimeError(
+                f"resume aborted: manifests reach {last_committed}, "
+                f"checkpoints restored {restored}"
+            )
+
+        todo = [e for e in epochs if e > last_committed]
+        if max_epochs is not None:
+            todo = todo[:max_epochs]
+        pending = {
+            e: [
+                s.process_epoch.remote(
+                    e, os.path.join(part_dir, f"shard={k}", f"epoch={e}")
+                )
+                for k, s in enumerate(shards)
+            ]
+            for e in todo
+        }
+        stats = {
+            "epochs_total": len(epochs),
+            "epochs_skipped": len(committed),
+            "epochs_processed": 0,
+            "rows_emitted": 0,
+        }
+        for e in todo:
+            tables = ray.get(pending.pop(e))
+            parts = []
+            for k, tbl in enumerate(tables):
+                if tbl.num_rows:
+                    parts.append(self.sink.stage_part(e, f"shard-{k:03d}", tbl))
+            self.sink.commit_epoch(e, parts, cursor={"epoch": e})
+            stats["epochs_processed"] += 1
+            stats["rows_emitted"] += sum(t.num_rows for t in tables)
+        for s in shards:
+            ray.kill(s)
+        with open(os.path.join(cfg.out_dir, "_metrics.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+
+def partition_compaction_input(cfg: StreamingWindowFnConfig) -> tuple[str, int]:
+    """Phase 0 for the compaction job: same marker/tail protocol as
+    :func:`partition_windowfn_input`, but the payload carries the FULL row
+    (id, key, ts_us, event_type, value) — compaction emits whole rows."""
+    import ray.data
+
+    part_dir = os.path.join(cfg.work_dir, "compaction_partitioned")
+    marker = os.path.join(part_dir, "_partition_done.json")
+    files = sorted(
+        os.path.join(cfg.input_path, f)
+        for f in os.listdir(cfg.input_path)
+        if f.endswith(".parquet")
+    )
+    fingerprint = [[f, os.path.getsize(f)] for f in files]
+    cols = [cfg.id_col, cfg.key_col, cfg.ts_col, "event_type", cfg.value_col]
+    layout = {
+        "n_shards": cfg.n_shards,
+        "columns": cols,
+        "files_per_epoch": cfg.files_per_epoch,
+        "scheme": KEY_HASH_SCHEME,
+    }
+    done = None
+    tail_from: int | None = None
+    if os.path.exists(marker):
+        with open(marker) as m:
+            done = json.load(m)
+        layout_ok = all(done.get(k) == v for k, v in layout.items())
+        if layout_ok and done["fingerprint"] == fingerprint:
+            return part_dir, int(done["n_epochs"])
+        if (
+            layout_ok
+            and len(fingerprint) > len(done["fingerprint"])
+            and done["fingerprint"] == fingerprint[: len(done["fingerprint"])]
+        ):
+            tail_from = len(done["fingerprint"])
+
+    n_shards = cfg.n_shards
+    key_col, ts_col, id_col, value_col = (
+        cfg.key_col,
+        cfg.ts_col,
+        cfg.id_col,
+        cfg.value_col,
+    )
+
+    def tag(batch: pa.Table, epoch: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pd.util.hash_array(key, categorize=False)
+        ts_us = pc.cast(
+            pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                key_col: pa.array(key, pa.int64()),
+                "ts_us": pa.array(ts_us.astype(np.int64), pa.int64()),
+                "event_type": pc.cast(batch["event_type"], pa.string()),
+                value_col: pa.array(
+                    pc.cast(batch[value_col], pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.float64(),
+                ),
+                "shard": pa.array(
+                    (h % np.uint64(n_shards)).astype(np.int32), pa.int32()
+                ),
+                "epoch": pa.array(np.full(len(key), epoch, np.int64), pa.int64()),
+            }
+        )
+
+    tmp = os.path.join(cfg.work_dir, "_compaction_partition_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if tail_from is not None:
+        new_files = files[tail_from:]
+        next_epoch = int(done["n_epochs"])
+        groups = [
+            new_files[g : g + cfg.files_per_epoch]
+            for g in range(0, len(new_files), cfg.files_per_epoch)
+        ]
+    else:
+        next_epoch = 0
+        groups = [
+            files[g : g + cfg.files_per_epoch]
+            for g in range(0, len(files), cfg.files_per_epoch)
+        ]
+    for gi, group in enumerate(groups):
+        ds = ray.data.read_parquet(group, columns=cols).map_batches(
+            lambda b, e=next_epoch + gi: tag(b, e),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds.write_parquet(
+            tmp,
+            partition_cols=["shard", "epoch"],
+            compression=cfg.intermediate_compression,
+        )
+    if tail_from is not None:
+        for sd in sorted(os.listdir(tmp)) if os.path.isdir(tmp) else []:
+            if not sd.startswith("shard="):
+                continue
+            os.makedirs(os.path.join(part_dir, sd), exist_ok=True)
+            for ed in sorted(os.listdir(os.path.join(tmp, sd))):
+                dst = os.path.join(part_dir, sd, ed)
+                if os.path.isdir(dst):  # leftover of a crashed prior attempt
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(tmp, sd, ed), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp, part_dir)
+    n_epochs = next_epoch + len(groups)
+    with open(marker, "w") as m:
+        json.dump(dict(layout, fingerprint=fingerprint, n_epochs=n_epochs), m)
+    return part_dir, n_epochs

@@ -171,3 +171,100 @@ def test_scheme_mismatch_aborts_resume(tmp_path):
             pickle.dump(snap, fh)
     with pytest.raises(RuntimeError, match="resume aborted"):
         StreamingWindowFnJob(cfg).run()
+
+
+def _full_events(ids, uids, ts_s, etypes, vals):
+    return pd.DataFrame(
+        {
+            "event_id": np.array(ids, np.int64),
+            "ts": pd.to_datetime(np.array(ts_s, np.int64), unit="s"),
+            "user_id": np.array(uids, np.int64),
+            "event_type": etypes,
+            "value": np.array(vals, np.float64),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_supersede_and_stale_epoch(tmp_path):
+    """Epoch 1 touches key 7 with an OLDER ts: the emitted 'current' row
+    must still be epoch 0's newer row. A genuinely newer row supersedes."""
+    from statefulstreamprocessor_ray.pipelines.streaming_analytic import (
+        StreamingCompactionJob,
+    )
+
+    base = str(tmp_path / "cdc")
+    _write_epochs(
+        base,
+        [
+            _full_events([1, 2], [7, 8], [500, 100], ["a", "b"], [1.0, 2.0]),
+            # key 7: stale (ts 300 < 500); key 8: newer (ts 200 > 100)
+            _full_events([3, 4], [7, 8], [300, 200], ["c", "d"], [3.0, 4.0]),
+        ],
+    )
+    StreamingCompactionJob(_cfg(base)).run()
+    out = (
+        ExactlyOnceParquetSink(os.path.join(base, "out"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "user_id"])
+        .reset_index(drop=True)
+    )
+    e1 = out[out["epoch"] == 1].set_index("user_id")
+    assert e1.loc[7, "event_id"] == 1  # stale update did NOT supersede
+    assert e1.loc[7, "event_type"] == "a"
+    assert e1.loc[8, "event_id"] == 4  # newer update DID
+    assert e1.loc[8, "value"] == 4.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_crash_resume_and_tail(tmp_path):
+    from statefulstreamprocessor_ray.pipelines.streaming_analytic import (
+        StreamingCompactionJob,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 200
+    df = _full_events(
+        np.arange(n),
+        rng.integers(0, 7, n),
+        rng.integers(0, 5_000, n),
+        [f"t{i % 3}" for i in range(n)],
+        rng.random(n) * 10,
+    )
+    frames = [df.iloc[:70], df.iloc[70:140], df.iloc[140:]]
+
+    base_a = str(tmp_path / "full")
+    _write_epochs(base_a, frames)
+    StreamingCompactionJob(_cfg(base_a)).run()
+    full = (
+        ExactlyOnceParquetSink(os.path.join(base_a, "out"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "user_id"])
+        .reset_index(drop=True)
+    )
+
+    base_b = str(tmp_path / "resumed")
+    _write_epochs(base_b, frames)
+    StreamingCompactionJob(_cfg(base_b)).run(max_epochs=2)
+    stats = StreamingCompactionJob(_cfg(base_b)).run()
+    assert stats["epochs_skipped"] == 2
+    resumed = (
+        ExactlyOnceParquetSink(os.path.join(base_b, "out"))
+        .read_committed()
+        .to_pandas()
+        .sort_values(["epoch", "user_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, resumed)
+    assert StreamingCompactionJob(_cfg(base_b)).run()["rows_emitted"] == 0
+
+    # tail: a 4th epoch emits only its touched keys' current rows
+    extra = _full_events([999], [3], [9_999], ["z"], [42.0])
+    pq.write_table(
+        pa.Table.from_pandas(extra, preserve_index=False),
+        os.path.join(base_b, "input", "part-003.parquet"),
+    )
+    stats = StreamingCompactionJob(_cfg(base_b)).run()
+    assert stats["rows_emitted"] == 1
